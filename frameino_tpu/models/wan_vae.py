@@ -1,0 +1,570 @@
+"""Wan causal 3D video VAE (Wan 2.1 / 2.2) — TPU-native full-sequence form.
+
+Reference: ``architecture/autoencoder_kl_wan.py`` (AutoencoderKLWan and
+its blocks). The reference streams the video through every causal conv in
+1-then-4-frame chunks with a per-layer ``feat_cache`` holding the last
+CACHE_T=2 input frames (``:134-176, 1145-1169, 1198-1227``). On TPU that
+chunk loop is poison: dozens of tiny convs, host-side cache bookkeeping,
+and no MXU utilization. This implementation exploits the fact that the
+chunked protocol is *mathematically equivalent* to full-sequence ops:
+
+- stride-1 temporal causal convs: chunked streaming == one conv with
+  2*pad_t zeros at the time front (no future leakage). Proof: the cache
+  always holds exactly the previous 2 input frames of that layer.
+- ``downsample3d`` time conv (k=3, s=2, no pad): frame 0 bypasses the
+  conv (the first chunk only stores the cache, reference ``:297-307``);
+  later outputs are windows starting at even frames. Full-sequence form:
+  ``concat([x[:, :1], conv_valid_stride2(x)])``.
+- ``upsample3d`` time conv (k=3, s=1, causal, C->2C interleaved to 2x
+  frames): frame 0 bypasses the conv AND is zeroed out of later frames'
+  receptive field (the "Rep" cache entry becomes ``[0, x1]``, reference
+  ``:267-291``). Full-sequence form: zero frame 0, causal conv, drop the
+  first output, interleave channel halves; prepend original frame 0.
+- ``AvgDown3D`` front-pads time to a multiple of factor_t (``:55-58``)
+  and ``DupUp3D(first_chunk=True)`` drops the first factor_t-1 frames
+  (``:129-130``) — both already closed-form over the full sequence
+  because the 1/4-frame chunk structure aligns with the factors.
+
+``tests/test_wan_vae.py`` re-enacts the reference chunk/cache protocol
+literally (in JAX, on the same parameters) and asserts bit-level
+agreement with this full-sequence implementation.
+
+Layout: channels-last [B, T, H, W, C] internally; public encode/decode
+accept/return the reference layout [B, C, T, H, W].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frameino_tpu.ops import conv as cops
+from frameino_tpu.ops.attention import attention_xla
+from frameino_tpu.ops.norms import l2_normalize_channel
+
+Params = Dict[str, Any]
+
+CACHE_T = 2  # reference autoencoder_kl_wan.py:34
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+# In-repo Wan2.1 normalization stats (reference autoencoder_kl_wan.py:977-1012).
+WAN21_LATENTS_MEAN = (
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+)
+WAN21_LATENTS_STD = (
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WanVAEConfig:
+    base_dim: int = 96
+    decoder_base_dim: Optional[int] = None
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+    is_residual: bool = False
+    in_channels: int = 3
+    out_channels: int = 3
+    patch_size: Optional[int] = None
+    scale_factor_temporal: int = 4
+    scale_factor_spatial: int = 8
+    latents_mean: Tuple[float, ...] = WAN21_LATENTS_MEAN
+    latents_std: Tuple[float, ...] = WAN21_LATENTS_STD
+
+    @property
+    def temperal_upsample(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.temperal_downsample))
+
+    @property
+    def dec_base_dim(self) -> int:
+        return self.decoder_base_dim or self.base_dim
+
+
+# Wan2.1 VAE (z=16, 4x temporal / 8x spatial).
+WAN21_VAE_CONFIG = WanVAEConfig()
+
+# Wan2.2-TI2V-5B VAE (z=48, 4x temporal / 16x spatial via patchify;
+# residual down/up blocks). Normalization stats ship in the HF checkpoint
+# config and are loaded with the weights; unit placeholders here.
+WAN22_VAE_CONFIG = WanVAEConfig(
+    base_dim=160,
+    decoder_base_dim=256,
+    z_dim=48,
+    is_residual=True,
+    in_channels=12,
+    out_channels=12,
+    patch_size=2,
+    scale_factor_spatial=16,
+    latents_mean=tuple([0.0] * 48),
+    latents_std=tuple([1.0] * 48),
+)
+
+
+# ---------------------------------------------------------------------------
+# Small blocks (channels-last)
+# ---------------------------------------------------------------------------
+
+def _rms(x, params):
+    """WanRMS_norm (reference :179-202): L2-normalize channels * sqrt(C)."""
+    dim = x.shape[-1]
+    bias = params.get("bias", 0.0)
+    return l2_normalize_channel(x, dim ** 0.5, params["gamma"], bias, axis=-1)
+
+
+def _silu(x):
+    return jax.nn.silu(x)
+
+
+def resblock_apply(params: Params, x: jax.Array) -> jax.Array:
+    """WanResidualBlock (reference :311-382)."""
+    if "conv_shortcut" in params:
+        h = cops.causal_conv3d(x, **params["conv_shortcut"])
+    else:
+        h = x
+    x = _silu(_rms(x, params["norm1"]))
+    x = cops.causal_conv3d(x, **params["conv1"], padding=1)
+    x = _silu(_rms(x, params["norm2"]))
+    x = cops.causal_conv3d(x, **params["conv2"], padding=1)
+    return x + h
+
+
+def attn_block_apply(params: Params, x: jax.Array) -> jax.Array:
+    """WanAttentionBlock (reference :385-427): per-frame single-head
+    spatial self-attention."""
+    B, T, H, W, C = x.shape
+    identity = x
+    h = _rms(x, params["norm"])
+    qkv = jnp.einsum("bthwc,cd->bthwd", h, params["to_qkv"]["kernel"].astype(h.dtype),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    qkv = qkv + params["to_qkv"]["bias"].astype(h.dtype)
+    qkv = qkv.reshape(B * T, 1, H * W, 3 * C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = attention_xla(q, k, v)                      # [B*T, 1, HW, C]
+    o = o.reshape(B, T, H, W, C)
+    o = jnp.einsum("bthwc,cd->bthwd", o, params["proj"]["kernel"].astype(o.dtype),
+                   preferred_element_type=jnp.float32).astype(o.dtype)
+    o = o + params["proj"]["bias"].astype(o.dtype)
+    return o + identity
+
+
+def spatial_resample_apply(params: Params, x: jax.Array, mode: str) -> jax.Array:
+    """The per-frame 2D path of WanResample (reference :244-259, 292-295)."""
+    B, T, H, W, C = x.shape
+    x2 = x.reshape(B * T, H, W, C)
+    if mode.startswith("upsample"):
+        x2 = cops.nearest_exact_upsample2d(x2.astype(jnp.float32)).astype(x.dtype)
+        x2 = cops.conv2d(x2, **params["conv"], padding="SAME")
+    elif mode.startswith("downsample"):
+        x2 = zero = cops.zero_pad_hw_br(x2)
+        x2 = cops.conv2d(x2, **params["conv"], stride=2, padding="VALID")
+    out = x2.reshape(B, T, x2.shape[1], x2.shape[2], x2.shape[3])
+    return out
+
+
+def downsample3d_apply(params: Params, x: jax.Array) -> jax.Array:
+    """downsample3d: spatial stride-2 conv then temporal k3/s2 conv with
+    frame-0 bypass (full-sequence equivalent of reference :297-307)."""
+    x = spatial_resample_apply(params, x, "downsample3d")
+    y = cops.conv3d(x, **params["time_conv"], stride=(2, 1, 1), padding="VALID")
+    return jnp.concatenate([x[:, :1], y], axis=1)
+
+
+def downsample2d_apply(params: Params, x: jax.Array) -> jax.Array:
+    return spatial_resample_apply(params, x, "downsample2d")
+
+
+def upsample3d_apply(params: Params, x: jax.Array) -> jax.Array:
+    """upsample3d: temporal 2x (C->2C causal conv, frame-0 bypass and
+    zeroed-receptive-field "Rep" semantics, reference :267-291), then
+    spatial 2x."""
+    B, T, H, W, C = x.shape
+    x_zero_first = x.at[:, 0].set(0.0)
+    o = cops.causal_conv3d(x_zero_first, **params["time_conv"], padding=1)
+    o = o[:, 1:]                                    # drop frame-0 output
+    # interleave channel halves into frame pairs: (o[..., :C], o[..., C:])
+    o = o.reshape(B, T - 1, H, W, 2, C)
+    o = o.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * (T - 1), H, W, C)
+    x = jnp.concatenate([x[:, :1], o], axis=1)
+    return spatial_resample_apply(params, x, "upsample3d")
+
+
+def upsample2d_apply(params: Params, x: jax.Array) -> jax.Array:
+    return spatial_resample_apply(params, x, "upsample2d")
+
+
+def avg_down3d(x: jax.Array, out_c: int, ft: int, fs: int) -> jax.Array:
+    """AvgDown3D (reference :37-87), channels-last."""
+    B, T, H, W, C = x.shape
+    pad_t = (-T) % ft
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+    T2 = (T + pad_t) // ft
+    group = C * ft * fs * fs // out_c
+    x = x.reshape(B, T2, ft, H // fs, fs, W // fs, fs, C)
+    x = x.transpose(0, 7, 2, 4, 6, 1, 3, 5)         # B,C,ft,fs1,fs2,T2,Hs,Ws
+    x = x.reshape(B, out_c, group, T2, H // fs, W // fs)
+    x = x.mean(axis=2)
+    return x.transpose(0, 2, 3, 4, 1)
+
+
+def dup_up3d(x: jax.Array, out_c: int, ft: int, fs: int,
+             first_chunk: bool) -> jax.Array:
+    """DupUp3D (reference :90-131), channels-last."""
+    B, T, H, W, C = x.shape
+    repeats = out_c * ft * fs * fs // C
+    x = jnp.repeat(x, repeats, axis=-1)
+    x = x.reshape(B, T, H, W, out_c, ft, fs, fs)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)         # B,T,ft,H,fs1,W,fs2,C
+    x = x.reshape(B, T * ft, H * fs, W * fs, out_c)
+    if first_chunk:
+        x = x[:, ft - 1:]
+    return x
+
+
+def patchify(x: jax.Array, p: int) -> jax.Array:
+    """Wan2.2 space-to-channel (reference :912-932), channels-last.
+    Channel layout matches torch: (C, p_w, p_h) slow->fast."""
+    if p == 1:
+        return x
+    B, T, H, W, C = x.shape
+    x = x.reshape(B, T, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 2, 4, 6, 5, 3)            # B,T,Hp,Wp,C,p2,p1
+    return x.reshape(B, T, H // p, W // p, C * p * p)
+
+
+def unpatchify(x: jax.Array, p: int) -> jax.Array:
+    """Inverse of patchify (reference :935-952)."""
+    if p == 1:
+        return x
+    B, T, Hp, Wp, CP = x.shape
+    C = CP // (p * p)
+    x = x.reshape(B, T, Hp, Wp, C, p, p)            # (..., C, p2, p1)
+    x = x.transpose(0, 1, 2, 6, 3, 5, 4)            # B,T,Hp,p1,Wp,p2,C
+    return x.reshape(B, T, Hp * p, Wp * p, C)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder assembly
+# ---------------------------------------------------------------------------
+
+def encoder_apply(cfg: WanVAEConfig, params: Params, x: jax.Array) -> jax.Array:
+    """WanEncoder3d (reference :505-623). x: [B,T,H,W,Cin] -> [B,T',H',W',2z]."""
+    x = cops.causal_conv3d(x, **params["conv_in"], padding=1)
+
+    for blk in params["down_blocks"]:
+        kind = blk["kind"]
+        if kind == "res":
+            x = resblock_apply(blk, x)
+        elif kind == "attn":
+            x = attn_block_apply(blk, x)
+        elif kind == "downsample2d":
+            x = downsample2d_apply(blk, x)
+        elif kind == "downsample3d":
+            x = downsample3d_apply(blk, x)
+        elif kind == "res_down":
+            x_copy = x
+            for r in blk["resnets"]:
+                x = resblock_apply(r, x)
+            if blk.get("downsampler") is not None:
+                if blk["down_mode"] == "downsample3d":
+                    x = downsample3d_apply(blk["downsampler"], x)
+                else:
+                    x = downsample2d_apply(blk["downsampler"], x)
+            x = x + avg_down3d(x_copy, blk["out_dim"], blk["factor_t"],
+                               blk["factor_s"])
+        else:
+            raise ValueError(kind)
+
+    # mid block: res, attn, res
+    x = resblock_apply(params["mid"]["res1"], x)
+    x = attn_block_apply(params["mid"]["attn"], x)
+    x = resblock_apply(params["mid"]["res2"], x)
+
+    x = _silu(_rms(x, params["norm_out"]))
+    x = cops.causal_conv3d(x, **params["conv_out"], padding=1)
+    return x
+
+
+def decoder_apply(cfg: WanVAEConfig, params: Params, z: jax.Array) -> jax.Array:
+    """WanDecoder3d (reference :783-909). z: [B,T,H,W,z] -> [B,T',H',W',Cout]."""
+    x = cops.causal_conv3d(z, **params["conv_in"], padding=1)
+
+    x = resblock_apply(params["mid"]["res1"], x)
+    x = attn_block_apply(params["mid"]["attn"], x)
+    x = resblock_apply(params["mid"]["res2"], x)
+
+    for blk in params["up_blocks"]:
+        x_copy = x
+        for r in blk["resnets"]:
+            x = resblock_apply(r, x)
+        if blk.get("upsampler") is not None:
+            if blk["up_mode"] == "upsample3d":
+                x = upsample3d_apply(blk["upsampler"], x)
+            else:
+                x = upsample2d_apply(blk["upsampler"], x)
+        if blk.get("has_dup_shortcut"):
+            x = x + dup_up3d(x_copy, blk["out_dim"], blk["factor_t"], 2,
+                             first_chunk=True)
+
+    x = _silu(_rms(x, params["norm_out"]))
+    x = cops.causal_conv3d(x, **params["conv_out"], padding=1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (torch-default kaiming-uniform; used for tests
+# and from-scratch training; released weights load via weights.py)
+# ---------------------------------------------------------------------------
+
+def _init_cconv(key, cin, cout, k: Tuple[int, int, int]):
+    kt, kh, kw = k
+    return cops.init_conv3d(key, kt, kh, kw, cin, cout)
+
+
+def _init_rms(dim, bias=False):
+    p = {"gamma": jnp.ones((dim,), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), jnp.float32)
+    return p
+
+
+def _init_res(key, cin, cout):
+    ks = jax.random.split(key, 3)
+    p = {
+        "kind": "res",
+        "norm1": _init_rms(cin),
+        "conv1": _init_cconv(ks[0], cin, cout, (3, 3, 3)),
+        "norm2": _init_rms(cout),
+        "conv2": _init_cconv(ks[1], cout, cout, (3, 3, 3)),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _init_cconv(ks[2], cin, cout, (1, 1, 1))
+    return p
+
+
+def _init_attn(key, dim):
+    k1, k2 = jax.random.split(key)
+    bound = float(np.sqrt(1.0 / dim))
+    return {
+        "kind": "attn",
+        "norm": _init_rms(dim),
+        "to_qkv": {
+            "kernel": jax.random.uniform(k1, (dim, 3 * dim), jnp.float32, -bound, bound),
+            "bias": jnp.zeros((3 * dim,), jnp.float32),
+        },
+        "proj": {
+            "kernel": jax.random.uniform(k2, (dim, dim), jnp.float32, -bound, bound),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        },
+    }
+
+
+def _init_spatial_resample(key, dim, mode, upsample_out_dim=None):
+    if mode.startswith("upsample"):
+        out = upsample_out_dim if upsample_out_dim is not None else dim // 2
+        return {"conv": cops.init_conv2d(key, 3, 3, dim, out)}
+    else:
+        return {"conv": cops.init_conv2d(key, 3, 3, dim, dim)}
+
+
+def _init_resample(key, dim, mode, upsample_out_dim=None):
+    k1, k2 = jax.random.split(key)
+    p = _init_spatial_resample(k1, dim, mode, upsample_out_dim)
+    p["kind"] = mode
+    if mode == "downsample3d":
+        p["time_conv"] = _init_cconv(k2, dim, dim, (3, 1, 1))
+    elif mode == "upsample3d":
+        p["time_conv"] = _init_cconv(k2, dim, 2 * dim, (3, 1, 1))
+    return p
+
+
+def init_encoder(key, cfg: WanVAEConfig) -> Params:
+    dims = [cfg.base_dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    in_ch = cfg.in_channels if cfg.patch_size is None else \
+        cfg.in_channels * cfg.patch_size ** 2 // (cfg.in_channels // 3) if False else cfg.in_channels
+    keys = iter(jax.random.split(key, 256))
+    params: Params = {
+        "conv_in": _init_cconv(next(keys), in_ch, dims[0], (3, 3, 3)),
+        "down_blocks": [],
+    }
+    scale = 1.0
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        last = i == len(cfg.dim_mult) - 1
+        if cfg.is_residual:
+            t_down = cfg.temperal_downsample[i] if not last else False
+            down_flag = not last
+            blk = {
+                "kind": "res_down",
+                "out_dim": dout,
+                "factor_t": 2 if t_down else 1,
+                "factor_s": 2 if down_flag else 1,
+                "resnets": [],
+                "downsampler": None,
+                "down_mode": "downsample3d" if t_down else "downsample2d",
+            }
+            cin = din
+            for _ in range(cfg.num_res_blocks):
+                blk["resnets"].append(_init_res(next(keys), cin, dout))
+                cin = dout
+            if down_flag:
+                blk["downsampler"] = _init_resample(next(keys), dout, blk["down_mode"])
+            params["down_blocks"].append(blk)
+        else:
+            cin = din
+            for _ in range(cfg.num_res_blocks):
+                params["down_blocks"].append(_init_res(next(keys), cin, dout))
+                if scale in cfg.attn_scales:
+                    params["down_blocks"].append(_init_attn(next(keys), dout))
+                cin = dout
+            if not last:
+                mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+                params["down_blocks"].append(_init_resample(next(keys), dout, mode))
+                scale /= 2.0
+    out_dim = dims[-1]
+    params["mid"] = {
+        "res1": _init_res(next(keys), out_dim, out_dim),
+        "attn": _init_attn(next(keys), out_dim),
+        "res2": _init_res(next(keys), out_dim, out_dim),
+    }
+    params["norm_out"] = _init_rms(out_dim)
+    params["conv_out"] = _init_cconv(next(keys), out_dim, cfg.z_dim * 2, (3, 3, 3))
+    return params
+
+
+def init_decoder(key, cfg: WanVAEConfig) -> Params:
+    dim = cfg.dec_base_dim
+    dims = [dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    keys = iter(jax.random.split(key, 256))
+    params: Params = {
+        "conv_in": _init_cconv(next(keys), cfg.z_dim, dims[0], (3, 3, 3)),
+        "mid": {
+            "res1": _init_res(next(keys), dims[0], dims[0]),
+            "attn": _init_attn(next(keys), dims[0]),
+            "res2": _init_res(next(keys), dims[0], dims[0]),
+        },
+        "up_blocks": [],
+    }
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        if i > 0 and not cfg.is_residual:
+            din = din // 2                      # upsampler halved channels
+        last = i == len(cfg.dim_mult) - 1
+        up_flag = not last
+        t_up = cfg.temperal_upsample[i] if up_flag else False
+        blk = {
+            "out_dim": dout,
+            "factor_t": 2 if t_up else 1,
+            "resnets": [],
+            "upsampler": None,
+            "up_mode": "upsample3d" if t_up else "upsample2d",
+            "has_dup_shortcut": cfg.is_residual and up_flag,
+        }
+        cin = din
+        for _ in range(cfg.num_res_blocks + 1):
+            blk["resnets"].append(_init_res(next(keys), cin, dout))
+            cin = dout
+        if up_flag:
+            out_dim_up = dout if cfg.is_residual else None
+            blk["upsampler"] = _init_resample(next(keys), dout, blk["up_mode"],
+                                              upsample_out_dim=out_dim_up)
+        params["up_blocks"].append(blk)
+    final_dim = dims[-1]
+    out_ch = cfg.out_channels
+    params["norm_out"] = _init_rms(final_dim)
+    params["conv_out"] = _init_cconv(next(keys), final_dim, out_ch, (3, 3, 3))
+    return params
+
+
+def init_wan_vae(key, cfg: WanVAEConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "encoder": init_encoder(k1, cfg),
+        "decoder": init_decoder(k2, cfg),
+        "quant_conv": _init_cconv(k3, cfg.z_dim * 2, cfg.z_dim * 2, (1, 1, 1)),
+        "post_quant_conv": _init_cconv(k4, cfg.z_dim, cfg.z_dim, (1, 1, 1)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Public API (reference layout [B, C, T, H, W] at the boundary)
+# ---------------------------------------------------------------------------
+
+def _to_cl(x):
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def _to_cf(x):
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+def encode_moments(cfg: WanVAEConfig, params: Params, video: jax.Array) -> jax.Array:
+    """video [B, Cin, T, H, W] -> moments [B, 2z, T', H', W'].
+
+    Equivalent to reference ``AutoencoderKLWan._encode`` (:1145-1169):
+    patchify (2.2), encoder (full-sequence == chunked-cache), quant_conv.
+    """
+    x = _to_cl(video)
+    if cfg.patch_size is not None:
+        x = patchify(x, cfg.patch_size)
+    h = encoder_apply(cfg, params["encoder"], x)
+    h = cops.causal_conv3d(h, **params["quant_conv"])
+    return _to_cf(h)
+
+
+def encode(cfg: WanVAEConfig, params: Params, video: jax.Array,
+           sample_mode: str = "argmax",
+           key: Optional[jax.Array] = None) -> jax.Array:
+    """Posterior mode/sample. 'argmax' = DiagonalGaussian .mode() (the
+    mode used by all reference pipelines/trainers)."""
+    moments = encode_moments(cfg, params, video)
+    mean, logvar = jnp.split(moments, 2, axis=1)
+    if sample_mode == "argmax":
+        return mean
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def decode(cfg: WanVAEConfig, params: Params, z: jax.Array,
+           clamp: bool = True) -> jax.Array:
+    """z [B, z, T', H', W'] -> video [B, Cout, T, H, W].
+
+    Equivalent to reference ``_decode`` (:1198-1227): post_quant_conv,
+    frame-by-frame decoder (== full-sequence here), unpatchify, clamp.
+    """
+    x = _to_cl(z)
+    x = cops.causal_conv3d(x, **params["post_quant_conv"])
+    x = decoder_apply(cfg, params["decoder"], x)
+    if cfg.patch_size is not None:
+        x = unpatchify(x, cfg.patch_size)
+    x = _to_cf(x)
+    if clamp:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def normalize_latents(cfg: WanVAEConfig, z: jax.Array) -> jax.Array:
+    """(z - mean) / std with per-channel stats (reference pipeline
+    ``prepare_latents``, pipeline_wan_i2v_motion_FrameINO.py:449-468)."""
+    mean = jnp.asarray(cfg.latents_mean, z.dtype).reshape(1, -1, 1, 1, 1)
+    std = jnp.asarray(cfg.latents_std, z.dtype).reshape(1, -1, 1, 1, 1)
+    return (z - mean) / std
+
+
+def denormalize_latents(cfg: WanVAEConfig, z: jax.Array) -> jax.Array:
+    mean = jnp.asarray(cfg.latents_mean, z.dtype).reshape(1, -1, 1, 1, 1)
+    std = jnp.asarray(cfg.latents_std, z.dtype).reshape(1, -1, 1, 1, 1)
+    return z * std + mean

@@ -1,0 +1,232 @@
+"""Attention ops: XLA reference + Pallas TPU flash attention.
+
+The video DiTs need three attention shapes (reference call sites):
+- Wan self-attention over ~18k-32k video tokens with 3-axis RoPE
+  (reference ``architecture/transformer_wan.py:38-119``),
+- Wan cross-attention video->text (512 UMT5 tokens),
+- CogVideoX *joint* self-attention over [text; video] in one sequence
+  (reference ``architecture/attention_processor.py:2805-2877``).
+
+All are full bidirectional attention — no masking on the hot path. That
+makes the TPU kernel much simpler than general flash attention: the only
+masking needed is for the padded tail when sequence lengths are not
+multiples of the block size.
+
+Three implementations:
+- ``attention_xla``: jnp einsum reference (fp32 softmax). Used on CPU and
+  in tests; XLA fuses it reasonably but materializes the [Sq, Skv] scores.
+- ``flash_attention_inference``: hand-written Pallas forward kernel with
+  online softmax (fwd only — the inference denoise loop never
+  differentiates). Handles non-multiple sequence lengths by internal
+  padding + tail masking.
+- ``flash_attention_train``: wrapper around JAX's bundled Pallas TPU
+  flash attention (fwd+bwd custom VJP) with segment-id padding so
+  arbitrary lengths work.
+
+``attention(...)`` dispatches on platform and differentiation needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _default_scale(head_dim: int) -> float:
+    return head_dim ** -0.5
+
+
+# ---------------------------------------------------------------------------
+# XLA reference
+# ---------------------------------------------------------------------------
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+                  scale: Optional[float] = None) -> jax.Array:
+    """softmax(q k^T * scale) v with fp32 softmax. q/k/v: [B, H, S, D]."""
+    scale = scale if scale is not None else _default_scale(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel (inference hot path)
+# ---------------------------------------------------------------------------
+
+_NEG_INF = -1e30
+
+
+def _flash_fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_ref, l_ref, acc_ref, *, scale: float, block_k: int):
+    """One (batch*head, q_block) cell iterating over k blocks (grid dim 2).
+
+    Online softmax with fp32 running max / sum / accumulator in VMEM
+    scratch. The tail k block masks columns >= kv_len.
+    """
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                     # [block_q, D]
+    k = k_ref[0]                     # [block_k, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [block_q, block_k]
+
+    # Mask the padded tail of the KV sequence (only the last block can
+    # contain padding; the branch-free form costs one fused select).
+    kv_len = kv_len_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[...]              # [block_q, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)          # [block_q, block_k] fp32
+    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [block_q, D]
+    acc_ref[...] = alpha * acc_ref[...] + pv
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    sq_p = _round_up(Sq, block_q)
+    skv_p = _round_up(Skv, block_k)
+    if sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
+    if skv_p != Skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+
+    bh = B * H
+    q = q.reshape(bh, sq_p, D)
+    k = k.reshape(bh, skv_p, D)
+    v = v.reshape(bh, skv_p, D)
+    kv_len = jnp.full((1,), Skv, jnp.int32)
+
+    grid = (bh, sq_p // block_q, skv_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, block_k, D), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, block_k, D), lambda b, i, j, *_: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j, *_: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len, q, k, v)
+    out = out.reshape(B, H, sq_p, D)
+    if sq_p != Sq:
+        out = out[:, :, :Sq]
+    return out
+
+
+def flash_attention_inference(q, k, v, scale: Optional[float] = None,
+                              block_q: int = 512, block_k: int = 512):
+    """Non-causal Pallas flash attention, forward only. q/k/v: [B,H,S,D]."""
+    scale = scale if scale is not None else _default_scale(q.shape[-1])
+    Skv = k.shape[2]
+    block_q = min(block_q, _round_up(q.shape[2], 128))
+    block_k = min(block_k, _round_up(Skv, 128))
+    return _flash_fwd(q, k, v, scale=float(scale),
+                      block_q=block_q, block_k=block_k)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable path: bundled Pallas flash attention + padding wrapper
+# ---------------------------------------------------------------------------
+
+def flash_attention_train(q, k, v, scale: Optional[float] = None,
+                          block_multiple: int = 512):
+    """Differentiable flash attention for arbitrary lengths.
+
+    Pads Sq/Skv to a block multiple and uses segment ids so padded keys
+    never mix with real tokens (pad tokens form their own segment, which
+    keeps their softmax rows finite — important for the backward pass).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as _jax_flash, SegmentIds)
+
+    scale = scale if scale is not None else _default_scale(q.shape[-1])
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    sq_p = _round_up(Sq, block_multiple)
+    skv_p = _round_up(Skv, block_multiple)
+    need_pad = (sq_p != Sq) or (skv_p != Skv)
+    if need_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+        q_seg = (jnp.arange(sq_p) >= Sq).astype(jnp.int32)[None].repeat(B, 0)
+        kv_seg = (jnp.arange(skv_p) >= Skv).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=q_seg, kv=kv_seg)
+    else:
+        seg = None
+    out = _jax_flash(q, k, v, segment_ids=seg, causal=False,
+                     sm_scale=float(scale))
+    if sq_p != Sq:
+        out = out[:, :, :Sq]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def attention(q, k, v, scale: Optional[float] = None, *,
+              impl: Optional[str] = None, differentiable: bool = False):
+    """Multi-head attention. q: [B,H,Sq,D]; k/v: [B,H,Skv,D].
+
+    impl: None (auto) | 'xla' | 'pallas'.
+    """
+    if impl is None:
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "xla":
+        return attention_xla(q, k, v, scale)
+    if differentiable:
+        return flash_attention_train(q, k, v, scale)
+    return flash_attention_inference(q, k, v, scale)

@@ -1,0 +1,59 @@
+"""Attention op tests (CPU: Pallas kernels run in interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frameino_tpu.ops import attention as attn_ops
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+class TestXLAReference:
+    def test_matches_naive(self):
+        k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+        q = _rand(k1, (2, 3, 17, 8))
+        k = _rand(k2, (2, 3, 29, 8))
+        v = _rand(k3, (2, 3, 29, 8))
+        out = attn_ops.attention_xla(q, k, v)
+        scale = 8 ** -0.5
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        ref = np.einsum("bhqk,bhkd->bhqd", probs, v)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_softmax_rows_sum(self):
+        # identical keys -> output equals mean of values
+        q = jnp.zeros((1, 1, 4, 16))
+        k = jnp.zeros((1, 1, 9, 16))
+        v = jnp.tile(jnp.arange(9.0)[None, None, :, None], (1, 1, 1, 16))
+        out = attn_ops.attention_xla(q, k, v)
+        np.testing.assert_allclose(out, np.full(out.shape, 4.0), atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,skv", [(256, 256), (300, 300), (256, 77),
+                                    (1000, 513)])
+def test_flash_inference_matches_xla(sq, skv):
+    """Pallas fwd kernel (interpret on CPU) == XLA reference, incl. padding."""
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    q = _rand(k1, (1, 2, sq, 64))
+    k = _rand(k2, (1, 2, skv, 64))
+    v = _rand(k3, (1, 2, skv, 64))
+    ref = attn_ops.attention_xla(q, k, v)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = attn_ops.flash_attention_inference(q, k, v,
+                                                 block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_dispatch_cpu_uses_xla():
+    k1 = jax.random.key(2)
+    q = _rand(k1, (1, 1, 8, 8))
+    out = attn_ops.attention(q, q, q)
+    ref = attn_ops.attention_xla(q, q, q)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
