@@ -193,7 +193,8 @@ def upsample3d_apply(params: Params, x: jax.Array) -> jax.Array:
     spatial 2x."""
     B, T, H, W, C = x.shape
     x_zero_first = x.at[:, 0].set(0.0)
-    o = cops.causal_conv3d(x_zero_first, **params["time_conv"], padding=1)
+    o = cops.causal_conv3d(x_zero_first, **params["time_conv"],
+                           padding=(1, 0, 0))
     o = o[:, 1:]                                    # drop frame-0 output
     # interleave channel halves into frame pairs: (o[..., :C], o[..., C:])
     o = o.reshape(B, T - 1, H, W, 2, C)
@@ -394,8 +395,10 @@ def _init_resample(key, dim, mode, upsample_out_dim=None):
 
 def init_encoder(key, cfg: WanVAEConfig) -> Params:
     dims = [cfg.base_dim * u for u in (1,) + tuple(cfg.dim_mult)]
-    in_ch = cfg.in_channels if cfg.patch_size is None else \
-        cfg.in_channels * cfg.patch_size ** 2 // (cfg.in_channels // 3) if False else cfg.in_channels
+    # cfg.in_channels is the encoder's input width — for Wan2.2 this is the
+    # post-patchify channel count (12 = 3 * patch_size**2), matching the HF
+    # checkpoint config; encode() patchifies the raw 3-channel video first.
+    in_ch = cfg.in_channels
     keys = iter(jax.random.split(key, 256))
     params: Params = {
         "conv_in": _init_cconv(next(keys), in_ch, dims[0], (3, 3, 3)),
