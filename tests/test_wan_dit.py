@@ -1,0 +1,127 @@
+"""Wan DiT tests: shapes, patch-embed == Conv3d, per-token timesteps,
+unpatchify inverse, gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from frameino_tpu.models import wan_dit as M
+
+CFG = M.tiny_config()
+
+
+def _params():
+    return M.init_wan_dit(jax.random.key(0), CFG)
+
+
+def _inputs(key=1, B=2, F_=4, H=8, W=8):
+    ks = jax.random.split(jax.random.key(key), 3)
+    x = jax.random.normal(ks[0], (B, CFG.in_channels, F_, H, W))
+    t = jnp.array([100.0, 500.0])[:B]
+    text = jax.random.normal(ks[1], (B, 7, CFG.text_dim))
+    return x, t, text
+
+
+class TestForward:
+    def test_output_shape(self):
+        p = _params()
+        x, t, text = _inputs()
+        out = M.wan_dit_forward(CFG, p, x, t, text, attn_impl="xla")
+        assert out.shape == (2, CFG.out_channels, 4, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_per_token_timestep_matches_scalar(self):
+        """A constant per-token timestep vector must equal the scalar path
+        (reference transformer_wan.py:489-504 expand_timesteps)."""
+        p = _params()
+        x, t, text = _inputs(B=1)
+        S = (4 // 1) * (8 // 2) * (8 // 2)
+        out_scalar = M.wan_dit_forward(CFG, p, x, t[:1], text, attn_impl="xla")
+        t2d = jnp.full((1, S), float(t[0]))
+        out_2d = M.wan_dit_forward(CFG, p, x, t2d, text, attn_impl="xla")
+        np.testing.assert_allclose(np.asarray(out_scalar), np.asarray(out_2d),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_patch_embed_equals_conv3d(self):
+        """Dense patchify == torch Conv3d(kernel=stride=patch)."""
+        p = _params()
+        x, _, _ = _inputs(B=1)
+        tokens = M._patchify_tokens(x, CFG.patch_size)
+        got = np.asarray(tokens @ p["patch_embedding"]["kernel"]
+                         + p["patch_embedding"]["bias"])
+
+        # torch conv with weight reconstructed from the dense kernel
+        d = CFG.inner_dim
+        pt, ph, pw = CFG.patch_size
+        wk = np.asarray(p["patch_embedding"]["kernel"])  # [C*pt*ph*pw, D]
+        w = wk.T.reshape(d, CFG.in_channels, pt, ph, pw)
+        ref = F.conv3d(torch.from_numpy(np.asarray(x)),
+                       torch.from_numpy(w),
+                       torch.from_numpy(np.asarray(p["patch_embedding"]["bias"])),
+                       stride=(pt, ph, pw))
+        ref = ref.flatten(2).transpose(1, 2).numpy()  # [B, S, D]
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_unpatchify_inverse(self):
+        x = jax.random.normal(jax.random.key(3), (2, 8, 4, 8, 8))
+        toks = M._patchify_tokens(x, (1, 2, 2))
+        # _patchify emits (C, pt, ph, pw)-last vectors; _unpatchify expects
+        # the proj_out layout (..., pt, ph, pw, C) per the reference
+        # reshape — permute accordingly, then the roundtrip must be exact.
+        B, S, D = toks.shape
+        y = toks.reshape(B, 4, 4, 4, 8, 1, 2, 2)      # B,f,h,w,C,pt,ph,pw
+        y = y.transpose(0, 1, 2, 3, 5, 6, 7, 4)       # -> pt,ph,pw,C last
+        y = y.reshape(B, S, 32)
+        back = M._unpatchify_tokens(y, (4, 4, 4), (1, 2, 2), 8)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+    def test_grad_flows(self):
+        p = _params()
+        x, t, text = _inputs(B=1)
+
+        def loss(params):
+            out = M.wan_dit_forward(CFG, params, x, t[:1], text,
+                                    attn_impl="xla", differentiable=True)
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # scale_shift_table and attention weights get nonzero grads
+        assert float(jnp.abs(g["blocks"]["scale_shift_table"]).sum()) > 0
+        assert float(jnp.abs(g["blocks"]["attn1"]["to_q"]["kernel"]).sum()) > 0
+
+    def test_remat_matches(self):
+        p = _params()
+        x, t, text = _inputs(B=1)
+        a = M.wan_dit_forward(CFG, p, x, t[:1], text, attn_impl="xla")
+        b = M.wan_dit_forward(CFG, p, x, t[:1], text, attn_impl="xla",
+                              remat=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestAdaLNMath:
+    def test_block_adaln_against_torch(self):
+        """The 6-way AdaLN modulation (reference :329-336) re-enacted in
+        torch on random tensors."""
+        rs = np.random.RandomState(0)
+        B, S, D = 1, 5, 8
+        x = rs.randn(B, S, D).astype(np.float32)
+        table = rs.randn(1, 6, D).astype(np.float32)
+        tproj = rs.randn(B, 6, D).astype(np.float32)
+
+        # torch path
+        xt = torch.from_numpy(x)
+        mod = torch.from_numpy(table) + torch.from_numpy(tproj)
+        shift, scale, gate = mod.chunk(6, dim=1)[:3]
+        normed = F.layer_norm(xt, (D,), eps=1e-6)
+        ref = normed * (1 + scale) + shift
+
+        # jax path (mirrors _block_forward's modulation)
+        from frameino_tpu.ops.norms import layer_norm
+        modj = jnp.asarray(table)[None] + jnp.asarray(tproj).reshape(B, 1, 6, D)
+        sh, sc = [m[:, :, 0] for m in jnp.split(modj, 6, axis=2)][:2]
+        got = layer_norm(jnp.asarray(x), eps=1e-6) * (1 + sc) + sh
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
