@@ -8,6 +8,7 @@ per-layer trees for ``lax.scan`` over transformer blocks.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict
 
 import jax
@@ -16,6 +17,27 @@ import numpy as np
 
 
 Params = Dict[str, Any]
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class Meta:
+    """Static (non-array) metadata stored inside a parameter pytree.
+
+    Registered as a static pytree node so trees carrying structural tags
+    (block kinds, factors) remain valid jit arguments: the tags become
+    part of the treedef (hashed into the jit cache key), not leaves.
+    """
+
+    v: Any
+
+
+def meta(v) -> Meta:
+    return Meta(v)
+
+
+def unmeta(x):
+    return x.v if isinstance(x, Meta) else x
 
 
 def flatten(params: Params, prefix: str = "") -> Dict[str, jax.Array]:

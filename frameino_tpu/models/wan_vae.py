@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from frameino_tpu.core.tree import meta, unmeta
 from frameino_tpu.ops import conv as cops
 from frameino_tpu.ops.attention import attention_xla
 from frameino_tpu.ops.norms import l2_normalize_channel
@@ -267,7 +268,7 @@ def encoder_apply(cfg: WanVAEConfig, params: Params, x: jax.Array) -> jax.Array:
     x = cops.causal_conv3d(x, **params["conv_in"], padding=1)
 
     for blk in params["down_blocks"]:
-        kind = blk["kind"]
+        kind = unmeta(blk["kind"])
         if kind == "res":
             x = resblock_apply(blk, x)
         elif kind == "attn":
@@ -281,12 +282,13 @@ def encoder_apply(cfg: WanVAEConfig, params: Params, x: jax.Array) -> jax.Array:
             for r in blk["resnets"]:
                 x = resblock_apply(r, x)
             if blk.get("downsampler") is not None:
-                if blk["down_mode"] == "downsample3d":
+                if unmeta(blk["down_mode"]) == "downsample3d":
                     x = downsample3d_apply(blk["downsampler"], x)
                 else:
                     x = downsample2d_apply(blk["downsampler"], x)
-            x = x + avg_down3d(x_copy, blk["out_dim"], blk["factor_t"],
-                               blk["factor_s"])
+            x = x + avg_down3d(x_copy, unmeta(blk["out_dim"]),
+                               unmeta(blk["factor_t"]),
+                               unmeta(blk["factor_s"]))
         else:
             raise ValueError(kind)
 
@@ -313,13 +315,13 @@ def decoder_apply(cfg: WanVAEConfig, params: Params, z: jax.Array) -> jax.Array:
         for r in blk["resnets"]:
             x = resblock_apply(r, x)
         if blk.get("upsampler") is not None:
-            if blk["up_mode"] == "upsample3d":
+            if unmeta(blk["up_mode"]) == "upsample3d":
                 x = upsample3d_apply(blk["upsampler"], x)
             else:
                 x = upsample2d_apply(blk["upsampler"], x)
-        if blk.get("has_dup_shortcut"):
-            x = x + dup_up3d(x_copy, blk["out_dim"], blk["factor_t"], 2,
-                             first_chunk=True)
+        if unmeta(blk.get("has_dup_shortcut", False)):
+            x = x + dup_up3d(x_copy, unmeta(blk["out_dim"]),
+                             unmeta(blk["factor_t"]), 2, first_chunk=True)
 
     x = _silu(_rms(x, params["norm_out"]))
     x = cops.causal_conv3d(x, **params["conv_out"], padding=1)
@@ -346,7 +348,7 @@ def _init_rms(dim, bias=False):
 def _init_res(key, cin, cout):
     ks = jax.random.split(key, 3)
     p = {
-        "kind": "res",
+        "kind": meta("res"),
         "norm1": _init_rms(cin),
         "conv1": _init_cconv(ks[0], cin, cout, (3, 3, 3)),
         "norm2": _init_rms(cout),
@@ -361,7 +363,7 @@ def _init_attn(key, dim):
     k1, k2 = jax.random.split(key)
     bound = float(np.sqrt(1.0 / dim))
     return {
-        "kind": "attn",
+        "kind": meta("attn"),
         "norm": _init_rms(dim),
         "to_qkv": {
             "kernel": jax.random.uniform(k1, (dim, 3 * dim), jnp.float32, -bound, bound),
@@ -385,7 +387,7 @@ def _init_spatial_resample(key, dim, mode, upsample_out_dim=None):
 def _init_resample(key, dim, mode, upsample_out_dim=None):
     k1, k2 = jax.random.split(key)
     p = _init_spatial_resample(k1, dim, mode, upsample_out_dim)
-    p["kind"] = mode
+    p["kind"] = meta(mode)
     if mode == "downsample3d":
         p["time_conv"] = _init_cconv(k2, dim, dim, (3, 1, 1))
     elif mode == "upsample3d":
@@ -411,20 +413,21 @@ def init_encoder(key, cfg: WanVAEConfig) -> Params:
             t_down = cfg.temperal_downsample[i] if not last else False
             down_flag = not last
             blk = {
-                "kind": "res_down",
-                "out_dim": dout,
-                "factor_t": 2 if t_down else 1,
-                "factor_s": 2 if down_flag else 1,
+                "kind": meta("res_down"),
+                "out_dim": meta(dout),
+                "factor_t": meta(2 if t_down else 1),
+                "factor_s": meta(2 if down_flag else 1),
                 "resnets": [],
                 "downsampler": None,
-                "down_mode": "downsample3d" if t_down else "downsample2d",
+                "down_mode": meta("downsample3d" if t_down else "downsample2d"),
             }
             cin = din
             for _ in range(cfg.num_res_blocks):
                 blk["resnets"].append(_init_res(next(keys), cin, dout))
                 cin = dout
             if down_flag:
-                blk["downsampler"] = _init_resample(next(keys), dout, blk["down_mode"])
+                blk["downsampler"] = _init_resample(next(keys), dout,
+                                                    unmeta(blk["down_mode"]))
             params["down_blocks"].append(blk)
         else:
             cin = din
@@ -468,12 +471,12 @@ def init_decoder(key, cfg: WanVAEConfig) -> Params:
         up_flag = not last
         t_up = cfg.temperal_upsample[i] if up_flag else False
         blk = {
-            "out_dim": dout,
-            "factor_t": 2 if t_up else 1,
+            "out_dim": meta(dout),
+            "factor_t": meta(2 if t_up else 1),
             "resnets": [],
             "upsampler": None,
-            "up_mode": "upsample3d" if t_up else "upsample2d",
-            "has_dup_shortcut": cfg.is_residual and up_flag,
+            "up_mode": meta("upsample3d" if t_up else "upsample2d"),
+            "has_dup_shortcut": meta(cfg.is_residual and up_flag),
         }
         cin = din
         for _ in range(cfg.num_res_blocks + 1):
@@ -481,7 +484,8 @@ def init_decoder(key, cfg: WanVAEConfig) -> Params:
             cin = dout
         if up_flag:
             out_dim_up = dout if cfg.is_residual else None
-            blk["upsampler"] = _init_resample(next(keys), dout, blk["up_mode"],
+            blk["upsampler"] = _init_resample(next(keys), dout,
+                                              unmeta(blk["up_mode"]),
                                               upsample_out_dim=out_dim_up)
         params["up_blocks"].append(blk)
     final_dim = dims[-1]

@@ -1,0 +1,124 @@
+"""Parameter/activation sharding rules for the video DiTs.
+
+The reference's distributed story is single-node DDP (NCCL all-reduce,
+``config/accelerate_config_4GPU.json``, ``train_code/
+train_wan_motion_FrameINO.py:733-741``). The TPU-native design instead
+lays parameters and activations out over a 4-axis
+``jax.sharding.Mesh``:
+
+    dp    batch data parallelism (gradient psum over ICI)
+    fsdp  ZeRO-3-style parameter/optimizer sharding
+    tp    tensor parallelism (attention heads / FFN hidden)
+    sp    sequence parallelism over video tokens
+
+and lets XLA GSPMD insert the collectives. Rules are path-pattern based
+over the plain-dict parameter pytrees, with divisibility guards so any
+mesh shape degrades gracefully to replication.
+
+PP and EP are intentionally absent: the reference architecture has no
+pipeline stages or MoE experts (SURVEY §2.8); Wan2.2's "two experts" are
+timestep-routed whole models, which the pipeline handles by splitting the
+denoise schedule (``frameino_tpu/pipelines/wan_i2v.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frameino_tpu.core.tree import flatten, unflatten
+
+
+# (path regex, spec builder given leaf ndim). Specs may include a leading
+# 'layers' axis when params are stacked for lax.scan — handled by the
+# stacked flag below. Order matters: first match wins.
+_DIT_RULES = [
+    # column-parallel projections: output dim over tp, input over fsdp
+    (r".*(to_q|to_k|to_v|add_k_proj|add_v_proj)\.kernel$", ("fsdp", "tp")),
+    (r".*ffn\.fc1\.kernel$", ("fsdp", "tp")),
+    (r".*(to_q|to_k|to_v|add_k_proj|add_v_proj)\.bias$", ("tp",)),
+    (r".*ffn\.fc1\.bias$", ("tp",)),
+    # row-parallel projections: input dim over tp, output over fsdp
+    (r".*to_out\.kernel$", ("tp", "fsdp")),
+    (r".*ffn\.fc2\.kernel$", ("tp", "fsdp")),
+    # big non-attention matmuls: fsdp on the larger axis
+    (r".*patch_embedding\.kernel$", (None, "fsdp")),
+    (r".*proj_out\.kernel$", ("fsdp", None)),
+    (r".*text_embedder\.linear_1\.kernel$", ("fsdp", None)),
+    (r".*linear_\d\.kernel$", (None, "fsdp")),
+    (r".*time_proj\.kernel$", (None, "fsdp")),
+]
+
+
+def _spec_for(path: str, leaf, mesh: Mesh, stacked_prefixes=("blocks.",)):
+    stacked = any(path.startswith(p) for p in stacked_prefixes)
+    shape = leaf.shape
+    offset = 1 if stacked else 0          # leading 'layers' axis, unsharded
+    for pat, axes in _DIT_RULES:
+        if re.match(pat, path):
+            dims = [None] * len(shape)
+            for i, ax in enumerate(axes):
+                di = offset + i
+                if ax is None or di >= len(shape):
+                    continue
+                if shape[di] % mesh.shape.get(ax, 1) == 0 and mesh.shape.get(ax, 1) > 1:
+                    dims[di] = ax
+            while dims and dims[-1] is None:
+                dims.pop()
+            return P(*dims)
+    # default: fsdp-shard the largest divisible axis of big tensors
+    if leaf.size >= 1 << 16:
+        fs = mesh.shape.get("fsdp", 1)
+        if fs > 1:
+            order = sorted(range(offset, len(shape)),
+                           key=lambda i: -shape[i])
+            for i in order:
+                if shape[i] % fs == 0:
+                    dims = [None] * len(shape)
+                    dims[i] = "fsdp"
+                    while dims and dims[-1] is None:
+                        dims.pop()
+                    return P(*dims)
+    return P()
+
+
+def dit_param_specs(params, mesh: Mesh) -> Dict:
+    """Same-structure pytree of PartitionSpecs for a DiT param dict."""
+    flat = flatten(params)
+    return unflatten({k: _spec_for(k, v, mesh) for k, v in flat.items()})
+
+
+def shard_pytree(params, mesh: Mesh, specs=None):
+    """device_put every leaf with its NamedSharding."""
+    if specs is None:
+        specs = dit_param_specs(params, mesh)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+
+
+def activation_spec(kind: str) -> P:
+    """Activation layout constraints.
+
+    'tokens':  [B, S, D]   batch over dp(+fsdp), sequence over sp
+    'video':   [B, C, F, H, W] batch over dp(+fsdp)
+    'text':    [B, L, D]   batch over dp(+fsdp)
+    """
+    if kind == "tokens":
+        return P(("dp", "fsdp"), "sp", None)
+    if kind == "video":
+        return P(("dp", "fsdp"), None, None, None, None)
+    if kind == "text":
+        return P(("dp", "fsdp"), None, None)
+    raise ValueError(kind)
+
+
+def constrain(x, mesh: Optional[Mesh], kind: str):
+    """with_sharding_constraint if a mesh is active, else identity."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, activation_spec(kind)))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from frameino_tpu.core.tree import unmeta
 from frameino_tpu.models import wan_vae as M
 from frameino_tpu.ops import conv as cops
 
@@ -113,7 +114,7 @@ def _up3d_chunk(p, x, cache, idx):
 def _encoder_chunk(cfg, params, x, cache, idx):
     x = _cconv_call(x, params["conv_in"], cache, idx, 1)
     for blk in params["down_blocks"]:
-        kind = blk["kind"]
+        kind = unmeta(blk["kind"])
         if kind == "res":
             x = _res_chunk(blk, x, cache, idx)
         elif kind == "attn":
@@ -127,12 +128,13 @@ def _encoder_chunk(cfg, params, x, cache, idx):
             for r in blk["resnets"]:
                 x = _res_chunk(r, x, cache, idx)
             if blk.get("downsampler") is not None:
-                if blk["down_mode"] == "downsample3d":
+                if unmeta(blk["down_mode"]) == "downsample3d":
                     x = _down3d_chunk(blk["downsampler"], x, cache, idx)
                 else:
                     x = M.downsample2d_apply(blk["downsampler"], x)
-            x = x + M.avg_down3d(x_copy, blk["out_dim"], blk["factor_t"],
-                                 blk["factor_s"])
+            x = x + M.avg_down3d(x_copy, unmeta(blk["out_dim"]),
+                                 unmeta(blk["factor_t"]),
+                                 unmeta(blk["factor_s"]))
     x = _res_chunk(params["mid"]["res1"], x, cache, idx)
     x = M.attn_block_apply(params["mid"]["attn"], x)
     x = _res_chunk(params["mid"]["res2"], x, cache, idx)
@@ -168,12 +170,13 @@ def _decoder_chunk(cfg, params, x, cache, idx, first_chunk):
         for r in blk["resnets"]:
             x = _res_chunk(r, x, cache, idx)
         if blk.get("upsampler") is not None:
-            if blk["up_mode"] == "upsample3d":
+            if unmeta(blk["up_mode"]) == "upsample3d":
                 x = _up3d_chunk(blk["upsampler"], x, cache, idx)
             else:
                 x = M.upsample2d_apply(blk["upsampler"], x)
-        if blk.get("has_dup_shortcut"):
-            x = x + M.dup_up3d(x_copy, blk["out_dim"], blk["factor_t"], 2,
+        if unmeta(blk.get("has_dup_shortcut", False)):
+            x = x + M.dup_up3d(x_copy, unmeta(blk["out_dim"]),
+                               unmeta(blk["factor_t"]), 2,
                                first_chunk=first_chunk)
     x = jax.nn.silu(M._rms(x, params["norm_out"]))
     x = _cconv_call(x, params["conv_out"], cache, idx, 1)
