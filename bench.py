@@ -1,0 +1,101 @@
+"""Driver benchmark: Wan2.2-TI2V-5B FrameINO denoise steps/sec/chip.
+
+Runs the flagship 5B DiT (30 layers, dim 3072, 96 in-channels with
+trajectory conditioning) on one TPU chip at the canonical eval shape
+(49 frames @ 480x832 -> latent [13, 30, 52] = 5070 video tokens + 520
+ID-frame tokens, 512 text tokens), CFG batch-stacked (batch 2), per-token
+timesteps, Pallas flash attention — i.e. exactly one denoise step of the
+compiled FrameINO inference scan.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no timings (BASELINE.md). The A100
+estimate used here: 2 sequential CFG forwards of the 5B model over the
+same tokens ~= 1.24e14 FLOPs/step at 40% MFU of 312 TFLOP/s bf16
+=> ~1.0 denoise steps/sec. vs_baseline = measured / 1.0.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from frameino_tpu.models import wan_dit
+from frameino_tpu.schedulers.flow_match_euler import euler_step
+
+A100_EST_STEPS_PER_SEC = 1.0
+
+# 49f @ 480x832 FrameINO: 13 latent frames + 1 ID frame
+B, F, H, W = 1, 13, 30, 52
+N_ID = 1
+TEXT_LEN = 512
+STEPS_PER_CALL = 4
+CALLS = 3
+
+
+def zeros_params(cfg):
+    shapes = jax.eval_shape(lambda k: wan_dit.init_wan_dit(k, cfg),
+                            jax.random.key(0))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
+
+
+def main():
+    cfg = wan_dit.WAN22_TI2V_5B_MOTION
+    params = zeros_params(cfg)
+
+    S_tokens = (F + N_ID) * (H // 2) * (W // 2)
+    z = cfg.out_channels
+    id_lat = jnp.zeros((B, z, N_ID, H, W), jnp.float32)
+    traj = jnp.zeros((B, z, F + N_ID, H, W), jnp.float32)
+    text = jnp.zeros((2 * B, TEXT_LEN, cfg.text_dim), jnp.bfloat16)
+    ts = jnp.full((2 * B, S_tokens), 900.0, jnp.float32)
+    latents = jnp.zeros((B, z, F, H, W), jnp.float32)
+
+    @jax.jit
+    def denoise_steps(params, latents, id_lat, traj, ts, text):
+        def body(lat, _):
+            # model input rebuilt from the carried latents each step so
+            # the forward genuinely re-executes per iteration (the real
+            # pipeline's condition blend; nothing is loop-invariant)
+            lat_in = jnp.concatenate([lat, id_lat], axis=2)
+            lat_in = jnp.concatenate([lat_in, traj], axis=1)
+            x = jnp.concatenate([lat_in, lat_in], axis=0).astype(jnp.bfloat16)
+            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, text,
+                                           attn_impl="pallas")
+            cond, uncond = jnp.split(pred, 2, axis=0)
+            noise_pred = uncond + 5.0 * (cond - uncond)
+            noise_pred = noise_pred[:, :, :F]
+            return euler_step(lat, noise_pred, 0.9, 0.88), None
+
+        lat, _ = jax.lax.scan(body, latents, None, length=STEPS_PER_CALL)
+        # scalar so callers can force execution with a value fetch (the
+        # tunneled platform's block_until_ready does not synchronize)
+        return lat[0, 0, 0, 0, 0]
+
+    # warmup/compile (fetch forces the remote compile + first run)
+    t0 = time.time()
+    float(denoise_steps(params, latents, id_lat, traj, ts, text))
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(CALLS):
+        t0 = time.time()
+        float(denoise_steps(params, latents, id_lat, traj, ts, text))
+        times.append(time.time() - t0)
+
+    best = min(times)
+    steps_per_sec = STEPS_PER_CALL / best
+    print(json.dumps({
+        "metric": "wan22_5b_frameino_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec (CFG pair per step, 49f@480x832, 5590 tokens)",
+        "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
+    }))
+    print(f"# compile={compile_s:.1f}s times={['%.3f' % t for t in times]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
