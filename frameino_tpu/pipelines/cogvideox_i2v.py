@@ -1,0 +1,237 @@
+"""CogVideoX image-to-video pipelines (motion + FrameINO) — TPU-native.
+
+Reference: ``pipelines/pipeline_cogvideox_i2v_motion.py`` and
+``pipelines/pipeline_cogvideox_i2v_motion_FrameINO.py``. Condition
+algebra reproduced exactly:
+
+- ``prepare_latents`` (reference ``:350-423``): first-frame VAE latent
+  (posterior sample * scaling_factor) + zero padding over time; noise
+  latents [B, F, z, h, w] frame-first.
+- trajectory video latents (sample * scaling, ``:803-811``); ID frame as
+  a single-frame latent via the trainer's ``img_tensor_to_vae_latent``
+  (``train_code/train_cogvideox_motion_FrameINO.py:515-546``), augment
+  noise off at inference.
+- 3D RoPE precomputed once, first-frame block duplicated for the ID
+  frame (``:834-839``); batch-doubled CFG (``:856-896``); ID frame
+  appended on the frame axis with zero padding added to the image and
+  trajectory streams (``:866-877``); channel concat
+  [noisy, image, traj] -> 48 channels (``:881``); ID predictions dropped
+  (``:900-902``); dynamic CFG schedule (``:906-909``); DDIM or
+  CogVideoX-DPM step (``:914-926``).
+
+The denoise loop is ONE ``lax.scan``; the (static) per-step dynamic-CFG
+scales and DPM step pairs ride the scan xs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frameino_tpu.models import cogvideox_dit, cogvideox_vae
+from frameino_tpu.schedulers.ddim import (DDIMConfig, ddim_alphas_cumprod,
+                                          ddim_step, inference_timesteps)
+from frameino_tpu.schedulers.cogvideox_dpm import dpm_step_pair
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CogPipelineConfig:
+    scheduler: DDIMConfig = DDIMConfig()
+    scheduler_type: str = "ddim"            # 'ddim' | 'dpm'
+    use_dynamic_cfg: bool = True
+
+
+def dynamic_cfg_scales(guidance_scale: float, timesteps: np.ndarray,
+                       num_inference_steps: int) -> np.ndarray:
+    """Reference ``:906-909``: cosine-ramped guidance per step."""
+    return np.array([
+        1.0 + guidance_scale * (
+            (1 - math.cos(math.pi * ((num_inference_steps - float(t))
+                                     / num_inference_steps) ** 5.0)) / 2)
+        for t in timesteps], dtype=np.float32)
+
+
+def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
+                       vae_params: Params,
+                       image: jax.Array,
+                       traj_video: Optional[jax.Array],
+                       id_frame: Optional[jax.Array],
+                       num_latent_frames: int,
+                       key: jax.Array):
+    """Returns (image_latents [B,F,z,h,w], traj_latents, id_latent or
+    None) — frame-first, scaled by scaling_factor."""
+    sf = vae_cfg.scaling_factor
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def enc(v, k):
+        z = cogvideox_vae.encode(vae_cfg, vae_params, v,
+                                 sample_mode="sample", key=k)
+        return (z * sf).transpose(0, 2, 1, 3, 4)        # -> [B,F,z,h,w]
+
+    img_lat = enc(image[:, :, None], k1)                # [B,1,z,h,w]
+    pad = jnp.zeros((img_lat.shape[0], num_latent_frames - 1,
+                     *img_lat.shape[2:]), img_lat.dtype)
+    image_latents = jnp.concatenate([img_lat, pad], axis=1)
+
+    traj_latents = enc(traj_video, k2) if traj_video is not None else None
+    id_latent = enc(id_frame[:, :, None], k3) if id_frame is not None else None
+    return image_latents, traj_latents, id_latent
+
+
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "sched_cfg",
+                                             "scheduler_type",
+                                             "num_inference_steps",
+                                             "attn_impl"))
+def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
+            sched_cfg: DDIMConfig,
+            latents: jax.Array,
+            image_latents: jax.Array,
+            traj_latents: Optional[jax.Array],
+            id_latent: Optional[jax.Array],
+            context: jax.Array, neg_context: jax.Array,
+            rope_cos: jax.Array, rope_sin: jax.Array,
+            timesteps: jax.Array, timesteps_back: jax.Array,
+            guidance_scales: jax.Array,
+            num_inference_steps: int,
+            scheduler_type: str = "ddim",
+            attn_impl: Optional[str] = None) -> jax.Array:
+    """CFG denoise scan. latents: [B, F, z, h, w] frame-first."""
+    B, F, z, h, w = latents.shape
+    ac = jnp.asarray(ddim_alphas_cumprod(sched_cfg), jnp.float32)
+    context_2b = jnp.concatenate([neg_context, context], axis=0)
+    compute = context.dtype
+
+    def model_input(lat):
+        x = jnp.concatenate([lat, lat], axis=0)          # CFG double
+        img = jnp.concatenate([image_latents, image_latents], axis=0)
+        if traj_latents is not None:
+            trj = jnp.concatenate([traj_latents, traj_latents], axis=0)
+        if id_latent is not None:
+            idl = jnp.concatenate([id_latent, id_latent], axis=0)
+            x = jnp.concatenate([x, idl], axis=1)        # frame axis
+            zpad = jnp.zeros_like(idl)
+            img = jnp.concatenate([img, zpad], axis=1)
+            if traj_latents is not None:
+                trj = jnp.concatenate([trj, zpad], axis=1)
+        streams = [x, img] + ([trj] if traj_latents is not None else [])
+        return jnp.concatenate(streams, axis=2)          # channel axis
+
+    def step(carry, xs):
+        lat, old_x0 = carry
+        t, t_back, g = xs
+        x_in = model_input(lat).astype(compute)
+        ts = jnp.broadcast_to(t, (2 * B,)).astype(jnp.float32)
+        pred = cogvideox_dit.cogvideox_forward(
+            dit_cfg, dit_params, x_in, context_2b, ts,
+            image_rotary_emb=(rope_cos, rope_sin), attn_impl=attn_impl)
+        pred = pred.astype(jnp.float32)[:, :F]           # drop ID frames
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        noise_pred = uncond + g * (cond - uncond)
+        if scheduler_type == "dpm":
+            lat, x0 = dpm_step_pair(sched_cfg, ac, lat, noise_pred,
+                                    t.astype(jnp.int32),
+                                    t_back.astype(jnp.int32), old_x0,
+                                    num_inference_steps)
+        else:
+            lat = ddim_step(sched_cfg, ac, lat, noise_pred,
+                            t.astype(jnp.int32), num_inference_steps)
+            x0 = old_x0
+        return (lat, x0), None
+
+    old_x0_init = jnp.zeros_like(latents)
+    # first step must use the first-order DPM path: t_back = -1 sentinel
+    (latents, _), _ = jax.lax.scan(
+        step, (latents, old_x0_init),
+        (timesteps, timesteps_back, guidance_scales))
+    return latents
+
+
+class CogVideoXImageToVideoPipeline:
+    """Mirrors the reference ``__call__`` contract
+    (``pipeline_cogvideox_i2v_motion_FrameINO.py:604-959``)."""
+
+    def __init__(self, dit_cfg: cogvideox_dit.CogVideoXConfig,
+                 dit_params: Params,
+                 vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
+                 vae_params: Params,
+                 pipe_cfg: CogPipelineConfig = CogPipelineConfig(),
+                 text_encoder_fn=None):
+        self.dit_cfg = dit_cfg
+        self.dit_params = dit_params
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+        self.pipe_cfg = pipe_cfg
+        self.text_encoder_fn = text_encoder_fn
+
+    def __call__(self,
+                 image: jax.Array,
+                 prompt_embeds: Optional[jax.Array] = None,
+                 negative_prompt_embeds: Optional[jax.Array] = None,
+                 traj_tensor: Optional[jax.Array] = None,
+                 id_tensor: Optional[jax.Array] = None,
+                 height: int = 480,
+                 width: int = 720,
+                 num_frames: int = 49,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 6.0,
+                 key: Optional[jax.Array] = None,
+                 latents: Optional[jax.Array] = None,
+                 output_type: str = "np",
+                 attn_impl: Optional[str] = None):
+        vae_cfg = self.vae_cfg
+        key = key if key is not None else jax.random.key(0)
+        k_lat, k_cond = jax.random.split(key)
+
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        B = prompt_embeds.shape[0]
+
+        F = (num_frames - 1) // vae_cfg.temporal_compression_ratio + 1
+        h = height // vae_cfg.spatial_compression_ratio
+        w = width // vae_cfg.spatial_compression_ratio
+        z = vae_cfg.latent_channels
+        if latents is None:
+            latents = jax.random.normal(k_lat, (B, F, z, h, w), jnp.float32)
+
+        if traj_tensor is not None and traj_tensor.ndim == 4:
+            traj_tensor = traj_tensor.transpose(1, 0, 2, 3)[None]
+        image_latents, traj_latents, id_latent = prepare_conditions(
+            vae_cfg, self.vae_params, image, traj_tensor, id_tensor, F,
+            k_cond)
+
+        has_id = id_latent is not None
+        cos, sin = cogvideox_dit.cogvideox_rope(
+            self.dit_cfg, F, h, w, duplicate_first_frame_for_id=has_id)
+
+        sched = self.pipe_cfg.scheduler
+        ts_np = inference_timesteps(sched, num_inference_steps)
+        ts_back_np = np.concatenate([[-1], ts_np[:-1]])
+        if self.pipe_cfg.use_dynamic_cfg:
+            g_np = dynamic_cfg_scales(guidance_scale, ts_np,
+                                      num_inference_steps)
+        else:
+            g_np = np.full(len(ts_np), guidance_scale, np.float32)
+
+        latents = denoise(
+            self.dit_cfg, self.dit_params, sched, latents, image_latents,
+            traj_latents, id_latent, prompt_embeds, negative_prompt_embeds,
+            cos, sin, jnp.asarray(ts_np, jnp.float32),
+            jnp.asarray(ts_back_np, jnp.float32), jnp.asarray(g_np),
+            num_inference_steps=num_inference_steps,
+            scheduler_type=self.pipe_cfg.scheduler_type,
+            attn_impl=attn_impl)
+
+        if output_type == "latent":
+            return latents
+        zlat = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scaling_factor
+        video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
+        video = jnp.clip(video, -1.0, 1.0)
+        return np.asarray(video) if output_type == "np" else video

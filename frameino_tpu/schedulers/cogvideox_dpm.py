@@ -67,7 +67,9 @@ def dpm_step_pair(cfg: DDIMConfig, ac: jnp.ndarray,
     if t_back is None or old_x0 is None:
         denoised = x0
     else:
-        use_second = prev_t >= 0
+        # t_back < 0 is the "no previous step" sentinel used by compiled
+        # scan loops (None is not traceable)
+        use_second = (prev_t >= 0) & (t_back >= 0)
         alpha_back = _alpha_at(cfg, ac, t_back)
         h_last = lam - _lamb(alpha_back)
         # NaN-safe: replace h by 1 where second order is disabled so the
