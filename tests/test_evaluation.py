@@ -1,0 +1,100 @@
+"""Evaluation harness tests with synthetic artifacts + naive backends."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from frameino_tpu.evaluation import (mass_evaluation, region_scaled_canvas,
+                                     relative_dino_from_sims,
+                                     traj_error_from_tracks,
+                                     vlm_success_rate, vseg_mae_from_masks,
+                                     write_instance_artifacts)
+from frameino_tpu.evaluation.perception import naive_backends
+
+
+class TestMetricCores:
+    def test_traj_error_zero_for_identical(self):
+        t = np.random.RandomState(0).rand(5, 3, 2) * 100
+        assert traj_error_from_tracks(t, t) == 0.0
+
+    def test_traj_error_constant_offset(self):
+        t = np.zeros((4, 2, 2))
+        t2 = t + [3.0, 4.0]
+        np.testing.assert_allclose(traj_error_from_tracks(t2, t), 5.0)
+
+    def test_vseg_mae(self):
+        gen = np.zeros((2, 10, 10), np.uint8)
+        gt = np.zeros((2, 10, 10), np.uint8)
+        gen[:, 2:4, 2:4] = 1        # 4 pixels inside region
+        box = ((0, 0), (10, 10))
+        score = vseg_mae_from_masks(gen, gt, box, 256, 384)
+        np.testing.assert_allclose(score, 4 / (256 * 384))
+
+    def test_relative_dino(self):
+        assert relative_dino_from_sims([0.8], [0.8]) == 0.0
+        np.testing.assert_allclose(relative_dino_from_sims([0.4], [0.8]),
+                                   0.5)
+        # negative sims clamp to zero like the reference
+        np.testing.assert_allclose(relative_dino_from_sims([-1.0], [0.5]),
+                                   1.0)
+
+    def test_vlm_success(self):
+        assert vlm_success_rate(["Yes", "no", "Yes."]) == pytest.approx(2 / 3)
+
+    def test_region_scaling(self):
+        sh, sw, s_h, s_w = region_scaled_canvas(480, 832,
+                                                ((100, 100), (484, 356)))
+        np.testing.assert_allclose(s_w, 384 / 384)
+        np.testing.assert_allclose(s_h, 256 / 256)
+        assert (sh, sw) == (480, 832)
+
+
+@pytest.fixture(scope="module")
+def artifact_root(tmp_path_factory):
+    """Two synthetic instances: gen == gt (perfect) and gen != gt."""
+    root = str(tmp_path_factory.mktemp("eval"))
+    rs = np.random.RandomState(0)
+    H, W, F = 64, 96, 6
+    box = ((16, 16), (80, 48))
+    meta = {
+        "full_pred_tracks": [[[(20, 20), (30, 30)]]] * F,
+        "original_width": W, "original_height": H,
+        "mask_region": box, "resized_mask_region_box": box,
+    }
+    gt = rs.randint(0, 255, (F, H, W, 3)).astype(np.uint8)
+    ref = rs.randint(0, 255, (20, 20, 3)).astype(np.uint8)
+    write_instance_artifacts(root, 0, gt, gt.copy(), meta,
+                             "the toy enters the scene", ref)
+    gen2 = np.roll(gt, 5, axis=2)
+    write_instance_artifacts(root, 1, gt, gen2, meta,
+                             "the toy enters the scene", ref)
+    return root
+
+
+class TestMassEvaluation:
+    def test_artifact_contract(self, artifact_root):
+        inst = os.path.join(artifact_root, "instance0")
+        for f in ("gt_padded_frame0.png", "gt_frame0.png",
+                  "gen_padded_frame0.png", "gen_frame0.png",
+                  "Main_Reference.png", "processed_meta_data.pkl",
+                  "prompt.txt", "gen_video.mp4", "gt_video.mp4"):
+            assert os.path.exists(os.path.join(inst, f)), f
+
+    def test_full_run_with_naive_backends(self, artifact_root, tmp_path):
+        out = str(tmp_path / "results.json")
+        results = mass_evaluation(
+            artifact_root,
+            ["INO_TrajError", "INO_VSeg_MAE", "Relative_DINO", "INO_VLM"],
+            naive_backends(), test_num_frames=6, is_frame_in=True,
+            store_json_path=out)
+        assert os.path.exists(out)
+        loaded = json.load(open(out))
+        assert set(loaded) == {"INO_TrajError", "INO_VSeg_MAE",
+                               "Relative_DINO", "INO_VLM"}
+        for v in loaded.values():
+            assert np.isfinite(v)
+        # identical gen/gt in instance0 drags scores toward zero; the
+        # shifted instance1 contributes positive traj error
+        assert loaded["INO_TrajError"] >= 0.0
