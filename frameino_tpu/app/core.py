@@ -1,0 +1,178 @@
+"""Interactive demo core logic (UI-framework-free).
+
+Counterpart of the reference Gradio demo (``app.py``), factored so the
+geometry/condition logic is unit-testable and reusable from any front
+end (the Gradio wrapper lives in ``gradio_app.py``):
+
+- ``build_canvas`` (reference ``app.py:270-350``): place the resized
+  input image at user offsets inside a larger canvas whose dims must be
+  multiples of 32; the INFERENCE canvas is black outside the image, the
+  VISUAL canvas paper-white.
+- trajectory capture: per-object click polylines, arc-length-uniform
+  resampling to the frame count (``sample_traj_by_length``,
+  ``app.py:487-501`` — shared ``resample_track_by_length``), rasterized
+  with the SAME function as training (``app.py:616-620`` parity).
+- ID reference: segmentation-masked object (any segmenter; SAM in the
+  reference, ``app.py:634-692``) background-zeroed, aspect-resized and
+  zero-padded to the canvas; black placeholder when absent.
+- ``crop_padding`` (``app.py:736-750``): cut the generated video back to
+  the user's visible canvas region.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from frameino_tpu.data.traj import (rasterize_trajectories,
+                                    resample_track_by_length)
+
+
+@dataclasses.dataclass
+class CanvasSpec:
+    canvas_height: int
+    canvas_width: int
+    image_height: int
+    image_width: int
+    offset_x: int
+    offset_y: int
+
+    def validate(self):
+        if self.canvas_height % 32 or self.canvas_width % 32:
+            raise ValueError("canvas dims must be multiples of 32 "
+                             f"(got {self.canvas_height}x{self.canvas_width})")
+        if self.offset_x < 0 or self.offset_y < 0 or \
+                self.offset_x + self.image_width > self.canvas_width or \
+                self.offset_y + self.image_height > self.canvas_height:
+            raise ValueError("image placement exceeds canvas bounds")
+
+
+def build_canvas(image: np.ndarray, spec: CanvasSpec
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (inference_canvas black-padded, visual_canvas white-padded),
+    both [H, W, 3] uint8."""
+    spec.validate()
+    resized = cv2.resize(image, (spec.image_width, spec.image_height))
+    inference = np.zeros((spec.canvas_height, spec.canvas_width, 3),
+                         np.uint8)
+    visual = np.full((spec.canvas_height, spec.canvas_width, 3), 255,
+                     np.uint8)
+    sl = (slice(spec.offset_y, spec.offset_y + spec.image_height),
+          slice(spec.offset_x, spec.offset_x + spec.image_width))
+    inference[sl] = resized
+    visual[sl] = resized
+    return inference, visual
+
+
+def prepare_id_reference(image: np.ndarray, mask: Optional[np.ndarray],
+                         canvas_height: int, canvas_width: int
+                         ) -> np.ndarray:
+    """Background-zeroed, aspect-resized + zero-padded ID reference
+    (reference ``app.py:642-692``); black placeholder when image None."""
+    if image is None:
+        return np.zeros((canvas_height, canvas_width, 3), np.uint8)
+    obj = image.copy()
+    if mask is not None:
+        obj = obj * (mask[..., None] > 0)
+    rh, rw = obj.shape[:2]
+    scale_h = canvas_height / max(rh, rw)
+    scale_w = canvas_width / max(rh, rw)
+    obj = cv2.resize(obj.astype(np.uint8),
+                     (int(rw * scale_w), int(rh * scale_h)),
+                     interpolation=cv2.INTER_AREA)
+    ph1 = (canvas_height - obj.shape[0]) // 2
+    ph2 = canvas_height - obj.shape[0] - ph1
+    pw1 = (canvas_width - obj.shape[1]) // 2
+    pw2 = canvas_width - obj.shape[1] - pw1
+    return np.pad(obj, ((ph1, ph2), (pw1, pw2), (0, 0)))
+
+
+def tracks_to_traj_tensor(polylines: Sequence[Sequence[Tuple[float, float]]],
+                          num_frames: int, canvas_height: int,
+                          canvas_width: int, dot_radius: int = 7
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Click polylines (one per object) -> rasterized trajectory video
+    using the training rasterizer (train/infer parity,
+    ``app.py:599-620``). Returns (traj [-1,1] [F,3,H,W], uint8)."""
+    resampled = [resample_track_by_length(p, num_frames) for p in polylines]
+    full_tracks = [[[tuple(resampled[obj][t])] for obj in
+                    range(len(resampled))] for t in range(num_frames)]
+    traj, raw, _ = rasterize_trajectories(
+        full_tracks, canvas_height, canvas_width, dot_radius,
+        canvas_width, canvas_height)
+    return traj, raw
+
+
+def crop_padding(video: np.ndarray, spec: CanvasSpec) -> np.ndarray:
+    """[F, H, W, 3] -> visible region (the user's placed image box)."""
+    return video[:, spec.offset_y:spec.offset_y + spec.image_height,
+                 spec.offset_x:spec.offset_x + spec.image_width]
+
+
+class InteractiveSession:
+    """State machine mirroring the Gradio event flow: canvas -> click
+    trajectories -> optional ID -> inference."""
+
+    def __init__(self, pipeline, num_frames: int = 81,
+                 num_inference_steps: int = 50, guidance_scale: float = 5.0,
+                 segmenter: Optional[Callable] = None):
+        self.pipeline = pipeline
+        self.num_frames = num_frames
+        self.steps = num_inference_steps
+        self.guidance = guidance_scale
+        self.segmenter = segmenter
+        self.spec: Optional[CanvasSpec] = None
+        self.inference_canvas: Optional[np.ndarray] = None
+        self.polylines: List[List[Tuple[float, float]]] = []
+
+    def set_canvas(self, image: np.ndarray, spec: CanvasSpec):
+        self.spec = spec
+        self.inference_canvas, visual = build_canvas(image, spec)
+        self.polylines = []
+        return visual
+
+    def add_traj_point(self, x: float, y: float, new_object: bool = False):
+        if new_object or not self.polylines:
+            self.polylines.append([])
+        self.polylines[-1].append((x, y))
+
+    def clear_traj_points(self):
+        self.polylines = []
+
+    def run(self, prompt_embeds, negative_prompt_embeds=None,
+            id_image: Optional[np.ndarray] = None,
+            id_mask: Optional[np.ndarray] = None, key=None,
+            **pipe_kwargs) -> np.ndarray:
+        spec = self.spec
+        H, W = spec.canvas_height, spec.canvas_width
+        traj, _ = tracks_to_traj_tensor(self.polylines or [[(0.0, 0.0)]],
+                                        self.num_frames, H, W)
+        if id_image is not None and id_mask is None and self.segmenter:
+            id_mask = self.segmenter(id_image)
+        id_np = prepare_id_reference(id_image, id_mask, H, W) \
+            if id_image is not None else None
+
+        import jax.numpy as jnp
+        image = jnp.asarray(
+            self.inference_canvas.astype(np.float32) / 255.0 * 2 - 1
+        ).transpose(2, 0, 1)[None]
+        traj_t = jnp.asarray(traj)
+        id_t = None
+        if id_np is not None:
+            id_t = jnp.asarray(
+                id_np.astype(np.float32) / 255.0 * 2 - 1
+            ).transpose(2, 0, 1)[None, :, None]
+
+        video = self.pipeline(
+            image, prompt_embeds=prompt_embeds,
+            negative_prompt_embeds=negative_prompt_embeds,
+            traj_tensor=traj_t, id_tensor=id_t, height=H, width=W,
+            num_frames=self.num_frames, num_inference_steps=self.steps,
+            guidance_scale=self.guidance, key=key, **pipe_kwargs)
+        video = np.asarray(video)
+        frames = ((video[0].transpose(1, 2, 3, 0) + 1) / 2 * 255
+                  ).clip(0, 255).astype(np.uint8)
+        return crop_padding(frames, spec)

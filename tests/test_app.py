@@ -1,0 +1,97 @@
+"""Demo app core tests: canvas geometry, ID prep, end-to-end session."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frameino_tpu.app import (CanvasSpec, InteractiveSession, build_canvas,
+                              crop_padding, prepare_id_reference,
+                              tracks_to_traj_tensor)
+from frameino_tpu.models import wan_dit, wan_vae
+from frameino_tpu.pipelines import wan_i2v as P
+
+
+class TestCanvas:
+    def test_build_canvas_black_vs_white(self):
+        img = np.full((16, 16, 3), 100, np.uint8)
+        spec = CanvasSpec(32, 64, 16, 16, 8, 8)
+        inf, vis = build_canvas(img, spec)
+        assert inf.shape == (32, 64, 3)
+        assert inf[0, 0].sum() == 0          # black outside
+        assert (vis[0, 0] == 255).all()      # white outside
+        assert (inf[8:24, 8:24] == 100).all()
+
+    def test_canvas_dims_must_be_x32(self):
+        with pytest.raises(ValueError):
+            CanvasSpec(30, 64, 16, 16, 0, 0).validate()
+
+    def test_placement_bounds(self):
+        with pytest.raises(ValueError):
+            CanvasSpec(32, 64, 16, 16, 60, 0).validate()
+
+    def test_crop_padding_inverse(self):
+        img = np.random.RandomState(0).randint(0, 255, (16, 16, 3)
+                                               ).astype(np.uint8)
+        spec = CanvasSpec(32, 64, 16, 16, 4, 8)
+        inf, _ = build_canvas(img, spec)
+        video = np.stack([inf] * 3)
+        back = crop_padding(video, spec)
+        np.testing.assert_array_equal(back[0], img)
+
+
+class TestIDPrep:
+    def test_masked_and_padded(self):
+        img = np.full((20, 10, 3), 200, np.uint8)
+        mask = np.zeros((20, 10), np.uint8)
+        mask[5:15, 2:8] = 1
+        out = prepare_id_reference(img, mask, 32, 64)
+        assert out.shape == (32, 64, 3)
+        assert out[0, 0].sum() == 0          # padding
+        assert out.max() == 200
+
+    def test_none_gives_black(self):
+        out = prepare_id_reference(None, None, 32, 64)
+        np.testing.assert_array_equal(out, 0)
+
+
+class TestTrajFromClicks:
+    def test_polyline_rasterized(self):
+        # dot radius rescales by canvas_height/384, so use a radius large
+        # enough to survive small test canvases
+        traj, raw = tracks_to_traj_tensor([[(5, 5), (50, 20)]], 5, 32, 64,
+                                          dot_radius=60)
+        assert traj.shape == (5, 3, 32, 64)
+        # dots move across frames: first frame near start, last near end
+        assert raw[0][:, :20].min() < 250    # something drawn near x=5
+        assert raw[-1][:, 40:].min() < 250   # and near x=50 at the end
+
+
+class TestSession:
+    def test_end_to_end(self):
+        vae_cfg = wan_vae.WanVAEConfig(
+            base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+            temperal_downsample=(True,), is_residual=False,
+            scale_factor_temporal=2, scale_factor_spatial=2,
+            latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+        dit_cfg = wan_dit.tiny_config(in_channels=8, out_channels=4)
+        pipe = P.WanImageToVideoPipeline(
+            dit_cfg, wan_dit.init_wan_dit(jax.random.key(0), dit_cfg),
+            vae_cfg, wan_vae.init_wan_vae(jax.random.key(1), vae_cfg))
+
+        sess = InteractiveSession(pipe, num_frames=9,
+                                  num_inference_steps=2, guidance_scale=2.0)
+        img = np.random.RandomState(0).randint(0, 255, (16, 16, 3)
+                                               ).astype(np.uint8)
+        spec = CanvasSpec(32, 64, 16, 16, 8, 8)
+        sess.set_canvas(img, spec)
+        sess.add_traj_point(40, 16)
+        sess.add_traj_point(55, 20)
+        text = jax.random.normal(jax.random.key(2),
+                                 (1, 7, dit_cfg.text_dim))
+        out = sess.run(text, id_image=img, key=jax.random.key(3),
+                       attn_impl="xla")
+        assert out.shape == (9, 16, 16, 3)
+        assert out.dtype == np.uint8
