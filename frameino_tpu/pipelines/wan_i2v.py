@@ -116,6 +116,90 @@ def build_first_frame_mask(num_latent_frames: int, latent_h: int,
     return mask.at[:, :, 0].set(0.0)
 
 
+def prepare_conditions_wan21(vae_cfg: wan_vae.WanVAEConfig,
+                             vae_params: Params,
+                             image: jax.Array, num_frames: int,
+                             traj_video: Optional[jax.Array] = None):
+    """Wan2.1 I2V conditioning (reference ``:437-446, 539-553``): encode
+    [image, zeros x (F-1)] as a full clip, then channel-concat the
+    temporal condition mask (first frame 1, repeated into the 4x latent
+    stride; 4 mask channels per latent frame).
+
+    Returns (condition [B, 4+z, f, h, w], traj_latents or None).
+    """
+    B = image.shape[0]
+    H, W = image.shape[2], image.shape[3]
+    tscale = vae_cfg.scale_factor_temporal
+
+    video_condition = jnp.concatenate(
+        [image[:, :, None],
+         jnp.zeros((B, image.shape[1], num_frames - 1, H, W), image.dtype)],
+        axis=2)
+    z = wan_vae.encode(vae_cfg, vae_params, video_condition,
+                       sample_mode="argmax")
+    latent_condition = wan_vae.normalize_latents(vae_cfg, z)
+    f_lat, lh, lw = latent_condition.shape[2:]
+
+    # mask_lat_size construction (reference :540-552)
+    mask = jnp.ones((B, 1, num_frames, lh, lw), jnp.float32)
+    mask = mask.at[:, :, 1:].set(0.0)
+    first = jnp.repeat(mask[:, :, 0:1], tscale, axis=2)
+    mask = jnp.concatenate([first, mask[:, :, 1:]], axis=2)
+    mask = mask.reshape(B, -1, tscale, lh, lw).transpose(0, 2, 1, 3, 4)
+
+    condition = jnp.concatenate([mask, latent_condition], axis=1)
+    traj_latents = None
+    if traj_video is not None:
+        zt = wan_vae.encode(vae_cfg, vae_params, traj_video,
+                            sample_mode="argmax")
+        traj_latents = wan_vae.normalize_latents(vae_cfg, zt)
+    return condition, traj_latents
+
+
+def denoise_segment_wan21(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
+                          latents: jax.Array, condition: jax.Array,
+                          traj_latents: Optional[jax.Array],
+                          context_2b: jax.Array,
+                          image_embeds: Optional[jax.Array],
+                          sigmas: jax.Array, sigmas_next: jax.Array,
+                          timesteps: jax.Array, guidance_scale: float,
+                          attn_impl: Optional[str] = None) -> jax.Array:
+    """Wan2.1 denoise segment (reference non-expand branch ``:845-848``):
+    channel-concat conditioning, SCALAR timesteps, optional CLIP image
+    embeds through the I2V cross-attention branch."""
+    B = latents.shape[0]
+    do_cfg = guidance_scale > 1.0
+
+    def step(carry, xs):
+        latents = carry
+        sigma, sigma_next, t = xs
+        latent_in = jnp.concatenate([latents, condition], axis=1)
+        if traj_latents is not None:
+            latent_in = jnp.concatenate([latent_in, traj_latents], axis=1)
+        ts = jnp.broadcast_to(t, (B,))
+        if do_cfg:
+            model_in = jnp.concatenate([latent_in, latent_in], axis=0)
+            ts2 = jnp.concatenate([ts, ts], axis=0)
+            img2 = None if image_embeds is None else jnp.concatenate(
+                [image_embeds, image_embeds], axis=0)
+            pred = wan_dit.wan_dit_forward(
+                dit_cfg, dit_params, model_in, ts2, context_2b,
+                encoder_hidden_states_image=img2, attn_impl=attn_impl)
+            pred_cond, pred_uncond = jnp.split(pred, 2, axis=0)
+            noise_pred = pred_uncond + guidance_scale * (pred_cond
+                                                         - pred_uncond)
+        else:
+            noise_pred = wan_dit.wan_dit_forward(
+                dit_cfg, dit_params, latent_in, ts, context_2b[:B],
+                encoder_hidden_states_image=image_embeds,
+                attn_impl=attn_impl)
+        return euler_step(latents, noise_pred, sigma, sigma_next), None
+
+    latents, _ = jax.lax.scan(step, latents,
+                              (sigmas, sigmas_next, timesteps))
+    return latents
+
+
 # ---------------------------------------------------------------------------
 # Denoise loop (jittable)
 # ---------------------------------------------------------------------------
@@ -309,29 +393,48 @@ class WanImageToVideoPipeline:
         if id_tensor is not None and id_tensor.ndim == 4:
             id_tensor = id_tensor[None]
 
-        condition, traj_latents, id_latents = prepare_conditions(
-            vae_cfg, self.vae_params, image, traj_tensor, id_tensor)
-        mask = build_first_frame_mask(shape[2], shape[3], shape[4])
-
         sched = self.pipe_cfg.scheduler
         sigmas_np, timesteps_np = inference_sigmas(sched, num_inference_steps)
         sigmas = jnp.asarray(sigmas_np)
         timesteps = jnp.asarray(timesteps_np)
 
-        split_idx = 0
-        if self.pipe_cfg.boundary_ratio is not None and \
-                self.dit_params_2 is not None:
-            boundary_t = self.pipe_cfg.boundary_ratio * sched.num_train_timesteps
-            split_idx = int(np.sum(timesteps_np >= boundary_t))
+        if not self.pipe_cfg.expand_timesteps:
+            # Wan2.1 I2V path: mask+latent channel conditioning, scalar
+            # timesteps (reference non-expand branch :437-446, :845-848)
+            condition, traj_latents = prepare_conditions_wan21(
+                vae_cfg, self.vae_params, image, num_frames, traj_tensor)
+            context_2b = jnp.concatenate(
+                [prompt_embeds, negative_prompt_embeds], axis=0)
+            latents = jax.jit(
+                denoise_segment_wan21,
+                static_argnames=("dit_cfg", "guidance_scale", "attn_impl"))(
+                dit_cfg=self.dit_cfg, dit_params=self.dit_params,
+                latents=latents, condition=condition,
+                traj_latents=traj_latents, context_2b=context_2b,
+                image_embeds=None, sigmas=sigmas[:-1],
+                sigmas_next=sigmas[1:], timesteps=timesteps,
+                guidance_scale=float(guidance_scale), attn_impl=attn_impl)
+        else:
+            condition, traj_latents, id_latents = prepare_conditions(
+                vae_cfg, self.vae_params, image, traj_tensor, id_tensor)
+            mask = build_first_frame_mask(shape[2], shape[3], shape[4])
 
-        latents = denoise(
-            self.dit_cfg, self.dit_params, latents, condition, traj_latents,
-            id_latents, mask, prompt_embeds, negative_prompt_embeds,
-            sigmas, timesteps, guidance_scale=float(guidance_scale),
-            attn_impl=attn_impl, dit_params_2=self.dit_params_2,
-            guidance_scale_2=(None if guidance_scale_2 is None
-                              else float(guidance_scale_2)),
-            split_idx=split_idx)
+            split_idx = 0
+            if self.pipe_cfg.boundary_ratio is not None and \
+                    self.dit_params_2 is not None:
+                boundary_t = self.pipe_cfg.boundary_ratio \
+                    * sched.num_train_timesteps
+                split_idx = int(np.sum(timesteps_np >= boundary_t))
+
+            latents = denoise(
+                self.dit_cfg, self.dit_params, latents, condition,
+                traj_latents, id_latents, mask, prompt_embeds,
+                negative_prompt_embeds, sigmas, timesteps,
+                guidance_scale=float(guidance_scale),
+                attn_impl=attn_impl, dit_params_2=self.dit_params_2,
+                guidance_scale_2=(None if guidance_scale_2 is None
+                                  else float(guidance_scale_2)),
+                split_idx=split_idx)
 
         if output_type == "latent":
             return latents

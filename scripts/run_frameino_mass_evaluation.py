@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark generation driver + metric evaluation.
+
+Counterpart of ``test_code/run_cogvideox_Frame{In,Out}_mass_evaluation.py``
+and ``evaluation/mass_evaluation.py``: iterate the gated evaluation
+dataset deterministically (strict_validation_match), run the FrameINO
+pipeline, dump the per-instance artifact directory the evaluators
+consume, then score with the four metrics.
+
+Usage:
+    python scripts/run_frameino_mass_evaluation.py \
+        --config_path configs/eval_frameino.yaml \
+        --output_dir results/FrameIn --mode frame_in \
+        [--family wan|cogvideox] [--smoke] [--evaluate-only]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--mode", choices=["frame_in", "frame_out"],
+                   default="frame_in")
+    p.add_argument("--family", choices=["wan", "cogvideox"], default="wan")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--evaluate-only", action="store_true")
+    p.add_argument("--num_instances", type=int, default=None)
+    p.add_argument("--backends", choices=["naive", "default"],
+                   default="naive")
+    return p.parse_args()
+
+
+def build_pipeline(args, config):
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    if args.family == "wan":
+        from frameino_tpu.models import wan_dit, wan_vae
+        from frameino_tpu.pipelines.wan_i2v import (WanImageToVideoPipeline,
+                                                    WanPipelineConfig)
+        if args.smoke:
+            vae_cfg = wan_vae.WanVAEConfig(
+                base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                temperal_downsample=(True,), is_residual=False,
+                scale_factor_temporal=2, scale_factor_spatial=2,
+                latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+            dit_cfg = wan_dit.tiny_config(in_channels=8, out_channels=4)
+        else:
+            vae_cfg = wan_vae.WAN22_VAE_CONFIG
+            dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
+        key = jax.random.key(0)
+        dit_params = wan_dit.init_wan_dit(key, dit_cfg)
+        vae_params = wan_vae.init_wan_vae(jax.random.fold_in(key, 1), vae_cfg)
+        tp = config.get("pretrained_transformer_path")
+        if tp and os.path.exists(str(tp)):
+            from frameino_tpu.models.weights import load_wan_dit_weights
+            dit_params = load_wan_dit_weights(tp, dit_cfg)
+        vp = config.get("pretrained_vae_path")
+        if vp and os.path.exists(str(vp)):
+            from frameino_tpu.models.weights import load_wan_vae_weights
+            vae_params = load_wan_vae_weights(vp, vae_cfg)
+        return WanImageToVideoPipeline(dit_cfg, dit_params, vae_cfg,
+                                       vae_params), dit_cfg
+    else:
+        from frameino_tpu.models import cogvideox_dit, cogvideox_vae
+        from frameino_tpu.pipelines.cogvideox_i2v import (
+            CogPipelineConfig, CogVideoXImageToVideoPipeline)
+        if args.smoke:
+            vae_cfg = cogvideox_vae.tiny_vae_config()
+            dit_cfg = cogvideox_dit.tiny_config()
+        else:
+            vae_cfg = cogvideox_vae.COGVIDEOX_VAE_CONFIG
+            dit_cfg = cogvideox_dit.COGVIDEOX_5B_I2V_FRAMEINO
+        import jax
+        key = jax.random.key(0)
+        dit_params = cogvideox_dit.init_cogvideox_dit(key, dit_cfg)
+        vae_params = cogvideox_vae.init_cogvideox_vae(
+            jax.random.fold_in(key, 1), vae_cfg)
+        return CogVideoXImageToVideoPipeline(
+            dit_cfg, dit_params, vae_cfg, vae_params,
+            CogPipelineConfig(scheduler_type="dpm")), dit_cfg
+
+
+def main():
+    args = parse_args()
+    from frameino_tpu.core.config import filter_kwargs, load_config
+    from frameino_tpu.data import FrameINODataset, FrameINODatasetConfig
+    from frameino_tpu.evaluation import (FRAME_IN_METRICS, FRAME_OUT_METRICS,
+                                         mass_evaluation,
+                                         write_instance_artifacts)
+    config = load_config(args.config_path)
+    is_frame_in = args.mode == "frame_in"
+
+    if not args.evaluate_only:
+        import jax
+        import jax.numpy as jnp
+        pipe, dit_cfg = build_pipeline(args, config)
+        ds_cfg = FrameINODatasetConfig(**filter_kwargs(
+            FrameINODatasetConfig, config))
+        dataset = FrameINODataset(
+            ds_cfg, config["download_folder_path"],
+            config["validation_csv_relative_path"],
+            config["validation_video_relative_path"],
+            config["validation_ID_relative_path"],
+            FrameOut_only=not is_frame_in,
+            one_point_one_obj=not is_frame_in,
+            strict_validation_match=True, seed=0)
+
+        n = min(args.num_instances or len(dataset), len(dataset))
+        steps = int(config.get("num_inference_steps", 50))
+        for idx in range(n):
+            item = dataset[idx]
+            F, _, H, W = item["video_tensor"].shape
+            text = jnp.zeros((1, int(config.get("max_text_seq_length", 512)),
+                              dit_cfg.text_dim))
+            video = pipe(
+                jnp.asarray(item["first_frame_tensor"])[None],
+                prompt_embeds=text,
+                traj_tensor=jnp.asarray(item["traj_tensor"]),
+                id_tensor=jnp.asarray(item["ID_tensor"])[None, :, None],
+                height=H, width=W, num_frames=F,
+                num_inference_steps=steps,
+                guidance_scale=float(config.get("guidance_scale", 5.0)),
+                key=jax.random.key(idx), attn_impl="xla" if args.smoke
+                else None)
+            gen = ((np.asarray(video)[0].transpose(1, 2, 3, 0) + 1) / 2
+                   * 255).clip(0, 255).astype(np.uint8)
+            write_instance_artifacts(
+                args.output_dir, idx, item["video_gt_np"][:gen.shape[0]],
+                gen, item["processed_meta_data"], item["text_prompt"],
+                main_reference=item["ID_np"])
+            print(f"instance {idx} written ({gen.shape})")
+
+    metrics = FRAME_IN_METRICS if is_frame_in else FRAME_OUT_METRICS
+    if args.backends == "naive":
+        from frameino_tpu.evaluation.perception import naive_backends
+        backends = naive_backends()
+    else:
+        from frameino_tpu.evaluation.perception import load_default_backends
+        backends = load_default_backends()
+    results = mass_evaluation(
+        args.output_dir, metrics, backends,
+        test_num_frames=49 if is_frame_in else 14,
+        is_frame_in=is_frame_in,
+        store_json_path=os.path.join(args.output_dir, "results.json"))
+    print("results:", results)
+
+
+if __name__ == "__main__":
+    main()
