@@ -147,11 +147,41 @@ def main():
 
         max_steps = int(config.get("max_train_steps", 1000))
         ckpt_every = int(config.get("checkpointing_steps", 2000))
+        val_every = int(config.get("validation_step", 0) or 0)
+        first_iter_val = bool(config.get("first_iter_validation", False))
         log_every = 10
         rng_key = jax.random.fold_in(key, 2)
 
+        val_dataset = None
+        if val_every or first_iter_val:
+            val_dataset = FrameINODataset(
+                ds_cfg, root,
+                config.get("validation_csv_relative_path",
+                           config["train_csv_relative_path"]),
+                config.get("validation_video_relative_path",
+                           config["train_video_relative_path"]),
+                config.get("validation_ID_relative_path",
+                           config["train_ID_relative_path"]),
+                strict_validation_match=True, seed=0)
+
+        def run_validation(step_no):
+            from frameino_tpu.pipelines.wan_i2v import (
+                WanImageToVideoPipeline, WanPipelineConfig)
+            from frameino_tpu.training.validation import log_validation
+            pipe = WanImageToVideoPipeline(
+                dit_cfg, state.params, vae_cfg, vae_params,
+                WanPipelineConfig(scheduler=sched_cfg))
+            out = log_validation(
+                pipe, val_dataset, embed_prompts, step_no, output_dir,
+                num_inference_steps=int(config.get("num_inference_steps",
+                                                   38)),
+                attn_impl="xla" if args.smoke else None)
+            print(f"validation artifacts -> {out}")
+
         t0 = time.time()
         step_count = int(state.step)
+        if first_iter_val and val_dataset is not None and step_count == 0:
+            run_validation(0)
         while step_count < max_steps:
             sampler.set_epoch(step_count)
             for batch_idx in sampler:
@@ -174,6 +204,9 @@ def main():
                     print(f"step {step_count} loss {float(metrics['loss']):.4f} "
                           f"grad_norm {float(metrics['grad_norm']):.3f} "
                           f"({time.time() - t0:.1f}s)")
+                if val_every and step_count % val_every == 0 and \
+                        val_dataset is not None:
+                    run_validation(step_count)
                 if step_count % ckpt_every == 0:
                     save_checkpoint(
                         output_dir, step_count, state,

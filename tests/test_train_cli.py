@@ -64,6 +64,8 @@ def smoke_env(tmp_path_factory):
         "resume_from_checkpoint": "latest",
         "output_folder": str(root / "ckpts"),
         "max_text_seq_length": 8,
+        "first_iter_validation": True,
+        "num_inference_steps": 2,
         "seed": 0,
     }
     cfg_path = root / "smoke.yaml"
@@ -89,6 +91,10 @@ def test_train_and_resume(smoke_env):
     assert "done at step 2" in r.stdout, r.stdout
     ckpt_dir = root / "ckpts" / "smoke"
     assert (ckpt_dir / "checkpoint-2").exists()
+    # first-iter validation smoke-tests the whole inference stack
+    val_dir = ckpt_dir / "validation_step0"
+    assert (val_dir / "generated.mp4").exists()
+    assert (val_dir / "first_frame_canvas.png").exists()
 
     # resume: should load step 2 and exit immediately at max_steps
     r2 = _run(cfg_path)
