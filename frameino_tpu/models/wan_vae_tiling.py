@@ -1,0 +1,138 @@
+"""Spatial tiling + batch slicing for the Wan VAE.
+
+Reference ``architecture/autoencoder_kl_wan.py``: ``enable_slicing``
+(:1121-1133, per-sample batch split) and ``enable_tiling``
+(:1084-1112, :1270-1397): overlapping spatial tiles encoded/decoded
+independently and linearly blended (``blend_v``/``blend_h``,
+:1254-1268) to bound memory for large resolutions. Tile defaults
+256/192 sample pixels.
+
+Each tile still runs the full-sequence TPU path; tiles execute
+sequentially so peak memory is one tile's activations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from frameino_tpu.models import wan_vae
+
+Params = Dict[str, Any]
+
+TILE_SAMPLE_MIN = 256
+TILE_SAMPLE_STRIDE = 192
+
+
+def _blend_v(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
+    """Blend bottom rows of `a` into top rows of `b` (reference blend_v)."""
+    extent = min(a.shape[-2], b.shape[-2], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent
+         ).reshape(1, 1, 1, extent, 1)
+    top = a[..., -extent:, :] * (1 - w) + b[..., :extent, :] * w
+    return jnp.concatenate([top.astype(b.dtype), b[..., extent:, :]],
+                           axis=-2)
+
+
+def _blend_h(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
+    extent = min(a.shape[-1], b.shape[-1], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent
+         ).reshape(1, 1, 1, 1, extent)
+    left = a[..., -extent:] * (1 - w) + b[..., :extent] * w
+    return jnp.concatenate([left.astype(b.dtype), b[..., extent:]], axis=-1)
+
+
+def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
+                 video: jax.Array,
+                 tile_min: int = TILE_SAMPLE_MIN,
+                 tile_stride: int = TILE_SAMPLE_STRIDE) -> jax.Array:
+    """Overlapping-tile encode with latent-space blending
+    (reference tiled_encode :1270-1334). video: [B, C, T, H, W]."""
+    H, W = video.shape[3], video.shape[4]
+    if H <= tile_min and W <= tile_min:
+        return wan_vae.encode_moments(cfg, params, video)
+    sc = cfg.scale_factor_spatial
+    lat_stride = tile_stride // sc
+    blend = tile_min // sc - lat_stride
+
+    rows = []
+    for i in range(0, H, tile_stride):
+        row = []
+        for j in range(0, W, tile_stride):
+            tile = video[:, :, :, i:i + tile_min, j:j + tile_min]
+            row.append(wan_vae.encode_moments(cfg, params, tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            result_row.append(tile[:, :, :, :lat_stride, :lat_stride])
+        result_rows.append(jnp.concatenate(result_row, axis=-1))
+    out = jnp.concatenate(result_rows, axis=-2)
+    return out[:, :, :, :H // sc, :W // sc]
+
+
+def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
+                 z: jax.Array,
+                 tile_min: int = TILE_SAMPLE_MIN,
+                 tile_stride: int = TILE_SAMPLE_STRIDE) -> jax.Array:
+    """Overlapping-tile decode with pixel-space blending
+    (reference tiled_decode :1336-1397). z: [B, z, T, h, w]."""
+    sc = cfg.scale_factor_spatial
+    h, w = z.shape[3], z.shape[4]
+    lat_min = tile_min // sc
+    lat_stride = tile_stride // sc
+    if h <= lat_min and w <= lat_min:
+        return wan_vae.decode(cfg, params, z)
+    blend = tile_min - tile_stride
+
+    rows = []
+    for i in range(0, h, lat_stride):
+        row = []
+        for j in range(0, w, lat_stride):
+            tile = z[:, :, :, i:i + lat_min, j:j + lat_min]
+            row.append(wan_vae.decode(cfg, params, tile, clamp=False))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            result_row.append(tile[:, :, :, :tile_stride, :tile_stride])
+        result_rows.append(jnp.concatenate(result_row, axis=-1))
+    out = jnp.concatenate(result_rows, axis=-2)
+    return jnp.clip(out[:, :, :, :h * sc, :w * sc], -1.0, 1.0)
+
+
+def sliced_encode(cfg: wan_vae.WanVAEConfig, params: Params,
+                  video: jax.Array, **kw) -> jax.Array:
+    """Per-sample batch slicing (reference enable_slicing :1187-1191)."""
+    if video.shape[0] == 1:
+        return tiled_encode(cfg, params, video, **kw)
+    outs = [tiled_encode(cfg, params, video[i:i + 1], **kw)
+            for i in range(video.shape[0])]
+    return jnp.concatenate(outs, axis=0)
+
+
+def sliced_decode(cfg: wan_vae.WanVAEConfig, params: Params,
+                  z: jax.Array, **kw) -> jax.Array:
+    if z.shape[0] == 1:
+        return tiled_decode(cfg, params, z, **kw)
+    outs = [tiled_decode(cfg, params, z[i:i + 1], **kw)
+            for i in range(z.shape[0])]
+    return jnp.concatenate(outs, axis=0)
