@@ -400,3 +400,228 @@ def wan_vae_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Params:
 
 def load_wan_vae_weights(path: str, cfg) -> Params:
     return wan_vae_from_state_dict(load_safetensors_dir(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX DiT (diffusers CogVideoXTransformer3DModel state dict)
+# ---------------------------------------------------------------------------
+
+def cogvideox_dit_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Params:
+    d = cfg.inner_dim
+    p = cfg.patch_size
+    params: Params = {
+        "patch_embed": {
+            "text_proj": _lin(sd, "patch_embed.text_proj"),
+        },
+        "time_embedding": {
+            "linear_1": _lin(sd, "time_embedding.linear_1"),
+            "linear_2": _lin(sd, "time_embedding.linear_2"),
+        },
+        "norm_final": {"weight": sd["norm_final.weight"],
+                       "bias": sd["norm_final.bias"]},
+        "norm_out": {
+            "linear": _lin(sd, "norm_out.linear"),
+            "norm": {"weight": sd["norm_out.norm.weight"],
+                     "bias": sd["norm_out.norm.bias"]},
+        },
+        "proj_out": _lin(sd, "proj_out"),
+    }
+    if cfg.patch_size_t is None:
+        pe = sd["patch_embed.proj.weight"]     # Conv2d [D, C, p, p]
+        params["patch_embed"]["proj"] = {
+            "kernel": np.ascontiguousarray(pe.reshape(d, -1).T),
+            "bias": sd["patch_embed.proj.bias"],
+        }
+    else:
+        params["patch_embed"]["proj"] = _lin(sd, "patch_embed.proj")
+    if "patch_embed.pos_embedding" in sd:
+        params["patch_embed"]["pos_embedding"] = sd["patch_embed.pos_embedding"]
+    if cfg.ofs_embed_dim:
+        params["ofs_embedding"] = {
+            "linear_1": _lin(sd, "ofs_embedding.linear_1"),
+            "linear_2": _lin(sd, "ofs_embedding.linear_2"),
+        }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}."
+        layers.append({
+            "norm1": {
+                "linear": _lin(sd, b + "norm1.linear"),
+                "norm": {"weight": sd[b + "norm1.norm.weight"],
+                         "bias": sd[b + "norm1.norm.bias"]},
+            },
+            "attn1": {
+                "to_q": _lin(sd, b + "attn1.to_q"),
+                "to_k": _lin(sd, b + "attn1.to_k"),
+                "to_v": _lin(sd, b + "attn1.to_v"),
+                "to_out": _lin(sd, b + "attn1.to_out.0"),
+                "norm_q": {"weight": sd[b + "attn1.norm_q.weight"],
+                           "bias": sd[b + "attn1.norm_q.bias"]},
+                "norm_k": {"weight": sd[b + "attn1.norm_k.weight"],
+                           "bias": sd[b + "attn1.norm_k.bias"]},
+            },
+            "norm2": {
+                "linear": _lin(sd, b + "norm2.linear"),
+                "norm": {"weight": sd[b + "norm2.norm.weight"],
+                         "bias": sd[b + "norm2.norm.bias"]},
+            },
+            "ff": {
+                "fc1": _lin(sd, b + "ff.net.0.proj"),
+                "fc2": _lin(sd, b + "ff.net.2"),
+            },
+        })
+    params["blocks"] = _stack(layers)
+    import jax
+    return jax.tree.map(jnp.asarray, params)
+
+
+def cogvideox_dit_to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
+    """Inverse mapping for round-trip validation / export."""
+    d = cfg.inner_dim
+    p = cfg.patch_size
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(name, pr):
+        sd[f"{name}.weight"] = np.asarray(pr["kernel"]).T
+        if "bias" in pr:
+            sd[f"{name}.bias"] = np.asarray(pr["bias"])
+
+    pe = params["patch_embed"]
+    if cfg.patch_size_t is None:
+        k = np.asarray(pe["proj"]["kernel"])
+        sd["patch_embed.proj.weight"] = k.T.reshape(d, cfg.in_channels, p, p)
+        sd["patch_embed.proj.bias"] = np.asarray(pe["proj"]["bias"])
+    else:
+        put_lin("patch_embed.proj", pe["proj"])
+    put_lin("patch_embed.text_proj", pe["text_proj"])
+    if "pos_embedding" in pe:
+        sd["patch_embed.pos_embedding"] = np.asarray(pe["pos_embedding"])
+    put_lin("time_embedding.linear_1", params["time_embedding"]["linear_1"])
+    put_lin("time_embedding.linear_2", params["time_embedding"]["linear_2"])
+    sd["norm_final.weight"] = np.asarray(params["norm_final"]["weight"])
+    sd["norm_final.bias"] = np.asarray(params["norm_final"]["bias"])
+    put_lin("norm_out.linear", params["norm_out"]["linear"])
+    sd["norm_out.norm.weight"] = np.asarray(params["norm_out"]["norm"]["weight"])
+    sd["norm_out.norm.bias"] = np.asarray(params["norm_out"]["norm"]["bias"])
+    put_lin("proj_out", params["proj_out"])
+    if "ofs_embedding" in params:
+        put_lin("ofs_embedding.linear_1", params["ofs_embedding"]["linear_1"])
+        put_lin("ofs_embedding.linear_2", params["ofs_embedding"]["linear_2"])
+
+    from frameino_tpu.core.tree import unstack_layers
+    for i, lp in enumerate(unstack_layers(params["blocks"], cfg.num_layers)):
+        b = f"transformer_blocks.{i}."
+        for nn in ("norm1", "norm2"):
+            put_lin(b + f"{nn}.linear", lp[nn]["linear"])
+            sd[b + f"{nn}.norm.weight"] = np.asarray(lp[nn]["norm"]["weight"])
+            sd[b + f"{nn}.norm.bias"] = np.asarray(lp[nn]["norm"]["bias"])
+        put_lin(b + "attn1.to_q", lp["attn1"]["to_q"])
+        put_lin(b + "attn1.to_k", lp["attn1"]["to_k"])
+        put_lin(b + "attn1.to_v", lp["attn1"]["to_v"])
+        put_lin(b + "attn1.to_out.0", lp["attn1"]["to_out"])
+        for qn in ("norm_q", "norm_k"):
+            sd[b + f"attn1.{qn}.weight"] = np.asarray(lp["attn1"][qn]["weight"])
+            sd[b + f"attn1.{qn}.bias"] = np.asarray(lp["attn1"][qn]["bias"])
+        put_lin(b + "ff.net.0.proj", lp["ff"]["fc1"])
+        put_lin(b + "ff.net.2", lp["ff"]["fc2"])
+    return sd
+
+
+def load_cogvideox_dit_weights(path: str, cfg) -> Params:
+    return cogvideox_dit_from_state_dict(load_safetensors_dir(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX VAE (diffusers AutoencoderKLCogVideoX state dict)
+# ---------------------------------------------------------------------------
+
+def _cog_cconv(sd, name):
+    """CogVideoXCausalConv3d (wraps .conv) OIDHW -> DHWIO."""
+    w = sd[f"{name}.conv.weight"]
+    return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+            "bias": sd[f"{name}.conv.bias"]}
+
+
+def _cog_gn(sd, name):
+    return {"weight": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _cog_sn(sd, name):
+    """CogVideoXSpatialNorm3D: norm_layer + conv_y/conv_b causal convs."""
+    return {
+        "norm": _cog_gn(sd, f"{name}.norm_layer"),
+        "conv_y": _cog_cconv(sd, f"{name}.conv_y"),
+        "conv_b": _cog_cconv(sd, f"{name}.conv_b"),
+    }
+
+
+def _cog_res(sd, name, spatial_norm):
+    p: Params = {
+        "conv1": _cog_cconv(sd, f"{name}.conv1"),
+        "conv2": _cog_cconv(sd, f"{name}.conv2"),
+    }
+    if spatial_norm:
+        p["norm1"] = _cog_sn(sd, f"{name}.norm1")
+        p["norm2"] = _cog_sn(sd, f"{name}.norm2")
+    else:
+        p["norm1"] = _cog_gn(sd, f"{name}.norm1")
+        p["norm2"] = _cog_gn(sd, f"{name}.norm2")
+    if f"{name}.conv_shortcut.conv.weight" in sd:
+        p["conv_shortcut"] = _cog_cconv(sd, f"{name}.conv_shortcut")
+    elif f"{name}.conv_shortcut.weight" in sd:
+        w = sd[f"{name}.conv_shortcut.weight"]
+        p["conv_shortcut"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+            "bias": sd[f"{name}.conv_shortcut.bias"]}
+    return p
+
+
+def _cog_conv2d(sd, name):
+    return {"kernel": np.ascontiguousarray(
+        sd[f"{name}.weight"].transpose(2, 3, 1, 0)),
+        "bias": sd[f"{name}.bias"]}
+
+
+def cogvideox_vae_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Params:
+    import jax
+    from frameino_tpu.core.tree import meta
+    boc = cfg.block_out_channels
+    enc: Params = {"conv_in": _cog_cconv(sd, "encoder.conv_in"),
+                   "down_blocks": []}
+    for i in range(len(boc)):
+        base = f"encoder.down_blocks.{i}"
+        blk = {"resnets": [_cog_res(sd, f"{base}.resnets.{j}", False)
+                           for j in range(cfg.layers_per_block)],
+               "downsampler": None,
+               "compress_time": meta(i < cfg.temporal_compress_level)}
+        if f"{base}.downsamplers.0.conv.weight" in sd:
+            blk["downsampler"] = _cog_conv2d(sd, f"{base}.downsamplers.0.conv")
+        enc["down_blocks"].append(blk)
+    enc["mid"] = {"resnets": [
+        _cog_res(sd, f"encoder.mid_block.resnets.{j}", False)
+        for j in range(2)]}
+    enc["norm_out"] = _cog_gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _cog_cconv(sd, "encoder.conv_out")
+
+    dec: Params = {"conv_in": _cog_cconv(sd, "decoder.conv_in"),
+                   "mid": {"resnets": [
+                       _cog_res(sd, f"decoder.mid_block.resnets.{j}", True)
+                       for j in range(2)]},
+                   "up_blocks": []}
+    for i in range(len(boc)):
+        base = f"decoder.up_blocks.{i}"
+        blk = {"resnets": [_cog_res(sd, f"{base}.resnets.{j}", True)
+                           for j in range(cfg.layers_per_block + 1)],
+               "upsampler": None,
+               "compress_time": meta(i < cfg.temporal_compress_level)}
+        if f"{base}.upsamplers.0.conv.weight" in sd:
+            blk["upsampler"] = _cog_conv2d(sd, f"{base}.upsamplers.0.conv")
+        dec["up_blocks"].append(blk)
+    dec["norm_out"] = _cog_sn(sd, "decoder.norm_out")
+    dec["conv_out"] = _cog_cconv(sd, "decoder.conv_out")
+    return jax.tree.map(jnp.asarray, {"encoder": enc, "decoder": dec})
+
+
+def load_cogvideox_vae_weights(path: str, cfg) -> Params:
+    return cogvideox_vae_from_state_dict(load_safetensors_dir(path), cfg)

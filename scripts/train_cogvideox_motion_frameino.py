@@ -80,12 +80,8 @@ def main():
         jax.random.fold_in(key, 1), vae_cfg)
     pretrained = config.get("pretrained_transformer_path")
     if pretrained and os.path.exists(str(pretrained)):
-        from frameino_tpu.models.weights import load_safetensors_dir
-        # CogVideoX state-dict mapping mirrors the Wan one; base models
-        # additionally need --surgery for the +traj channels
-        raise NotImplementedError(
-            "wire cogvideox_dit_from_state_dict here once checkpoints "
-            "are locally available")
+        from frameino_tpu.models.weights import load_cogvideox_dit_weights
+        dit_params = load_cogvideox_dit_weights(pretrained, dit_cfg)
     if args.surgery:
         dit_params = cogvideox_stage1_surgery(
             dit_params, dit_cfg.in_channels - 16, dit_cfg.in_channels,

@@ -171,3 +171,107 @@ class TestWanVAERoundTrip:
             is_residual=True, in_channels=12, out_channels=12, patch_size=2,
             latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
         self._roundtrip(cfg, jax.random.key(1))
+
+
+class TestCogDiTRoundTrip:
+    def test_roundtrip_forward_identical(self):
+        from frameino_tpu.models import cogvideox_dit
+        cfg = cogvideox_dit.tiny_config()
+        params = cogvideox_dit.init_cogvideox_dit(jax.random.key(0), cfg)
+        sd = W.cogvideox_dit_to_state_dict(params, cfg)
+        back = W.cogvideox_dit_from_state_dict(sd, cfg)
+        video = jax.random.normal(jax.random.key(1),
+                                  (1, 3, cfg.in_channels, 8, 8))
+        text = jax.random.normal(jax.random.key(2),
+                                 (1, cfg.max_text_seq_length,
+                                  cfg.text_embed_dim))
+        rope = cogvideox_dit.cogvideox_rope(cfg, 3, 8, 8)
+        a = cogvideox_dit.cogvideox_forward(cfg, params, video, text,
+                                            jnp.array([500.0]),
+                                            image_rotary_emb=rope,
+                                            attn_impl="xla")
+        b = cogvideox_dit.cogvideox_forward(cfg, back, video, text,
+                                            jnp.array([500.0]),
+                                            image_rotary_emb=rope,
+                                            attn_impl="xla")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _cog_vae_params_to_state_dict(params, cfg):
+    """Inverse CogVideoX-VAE mapping (test-side)."""
+    sd = {}
+
+    def put_cconv(name, p):
+        sd[f"{name}.conv.weight"] = np.asarray(p["kernel"]).transpose(
+            4, 3, 0, 1, 2)
+        sd[f"{name}.conv.bias"] = np.asarray(p["bias"])
+
+    def put_gn(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["weight"])
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_sn(name, p):
+        put_gn(f"{name}.norm_layer", p["norm"])
+        put_cconv(f"{name}.conv_y", p["conv_y"])
+        put_cconv(f"{name}.conv_b", p["conv_b"])
+
+    def put_res(name, p, spatial):
+        put_cconv(f"{name}.conv1", p["conv1"])
+        put_cconv(f"{name}.conv2", p["conv2"])
+        if spatial:
+            put_sn(f"{name}.norm1", p["norm1"])
+            put_sn(f"{name}.norm2", p["norm2"])
+        else:
+            put_gn(f"{name}.norm1", p["norm1"])
+            put_gn(f"{name}.norm2", p["norm2"])
+        if "conv_shortcut" in p:
+            put_cconv(f"{name}.conv_shortcut", p["conv_shortcut"])
+
+    def put_conv2d(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    enc = params["encoder"]
+    put_cconv("encoder.conv_in", enc["conv_in"])
+    for i, blk in enumerate(enc["down_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_res(f"encoder.down_blocks.{i}.resnets.{j}", r, False)
+        if blk.get("downsampler") is not None:
+            put_conv2d(f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                       blk["downsampler"])
+    for j, r in enumerate(enc["mid"]["resnets"]):
+        put_res(f"encoder.mid_block.resnets.{j}", r, False)
+    put_gn("encoder.norm_out", enc["norm_out"])
+    put_cconv("encoder.conv_out", enc["conv_out"])
+
+    dec = params["decoder"]
+    put_cconv("decoder.conv_in", dec["conv_in"])
+    for j, r in enumerate(dec["mid"]["resnets"]):
+        put_res(f"decoder.mid_block.resnets.{j}", r, True)
+    for i, blk in enumerate(dec["up_blocks"]):
+        for j, r in enumerate(blk["resnets"]):
+            put_res(f"decoder.up_blocks.{i}.resnets.{j}", r, True)
+        if blk.get("upsampler") is not None:
+            put_conv2d(f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                       blk["upsampler"])
+    put_sn("decoder.norm_out", dec["norm_out"])
+    put_cconv("decoder.conv_out", dec["conv_out"])
+    return sd
+
+
+class TestCogVAERoundTrip:
+    def test_roundtrip_encode_decode(self):
+        from frameino_tpu.models import cogvideox_vae
+        cfg = cogvideox_vae.tiny_vae_config()
+        params = cogvideox_vae.init_cogvideox_vae(jax.random.key(0), cfg)
+        sd = _cog_vae_params_to_state_dict(params, cfg)
+        back = W.cogvideox_vae_from_state_dict(sd, cfg)
+        video = jax.random.normal(jax.random.key(1), (1, 3, 9, 16, 16))
+        a = cogvideox_vae.encode_moments(cfg, params, video)
+        b = cogvideox_vae.encode_moments(cfg, back, video)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        z = jax.random.normal(jax.random.key(2),
+                              (1, cfg.latent_channels, 3, 4, 4))
+        da = cogvideox_vae.decode(cfg, params, z)
+        db = cogvideox_vae.decode(cfg, back, z)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-6)
