@@ -232,3 +232,37 @@ def attention(q, k, v, scale: Optional[float] = None, *,
     if differentiable:
         return flash_attention_train(q, k, v, scale)
     return flash_attention_inference(q, k, v, scale)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel attention (sp axis): all-gather-KV shard_map
+# ---------------------------------------------------------------------------
+
+def sp_attention(q, k, v, mesh, scale: Optional[float] = None,
+                 axis: str = "sp", inner_impl: Optional[str] = None):
+    """Sequence-parallel attention: queries stay sharded over ``axis``
+    along the sequence dim; keys/values are all-gathered over ICI so each
+    shard computes attention for its query slice against the full
+    sequence. This is the standard all-gather-KV context parallelism —
+    headroom the reference (single-device SDPA, SURVEY §5 "long-context:
+    none") never had.
+
+    q/k/v: [B, H, S, D] GLOBAL arrays (sharded or not); returns the same
+    global shape. Requires S % mesh.shape[axis] == 0.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    scale = scale if scale is not None else _default_scale(q.shape[-1])
+    spec = P(None, None, axis, None)
+
+    def local(ql, kl, vl):
+        k_full = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
+        if inner_impl == "xla" or not _on_tpu():
+            return attention_xla(ql, k_full, v_full, scale)
+        return flash_attention_inference(ql, k_full, v_full, scale)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec, spec, spec), out_specs=spec,
+                     check_rep=False)(q, k, v)

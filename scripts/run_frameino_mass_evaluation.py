@@ -103,8 +103,13 @@ def main():
         import jax
         import jax.numpy as jnp
         pipe, dit_cfg = build_pipeline(args, config)
+        eval_defaults = dict(config)
+        # deterministic evaluation wants every tracked point kept unless
+        # the config explicitly thins them
+        eval_defaults.setdefault("point_keep_ratio_regular", 1.0)
+        eval_defaults.setdefault("point_keep_ratio_ID", 1.0)
         ds_cfg = FrameINODatasetConfig(**filter_kwargs(
-            FrameINODatasetConfig, config))
+            FrameINODatasetConfig, eval_defaults))
         dataset = FrameINODataset(
             ds_cfg, config["download_folder_path"],
             config["validation_csv_relative_path"],

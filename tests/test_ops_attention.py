@@ -57,3 +57,18 @@ def test_dispatch_cpu_uses_xla():
     out = attn_ops.attention(q, q, q)
     ref = attn_ops.attention_xla(q, q, q)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_sp_attention_matches_global():
+    """All-gather-KV sequence parallelism over an sp=2 mesh equals the
+    unsharded computation."""
+    from frameino_tpu.core.meshes import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=1, sp=2))
+    k1, k2, k3 = jax.random.split(jax.random.key(9), 3)
+    q = _rand(k1, (1, 2, 64, 16))
+    k = _rand(k2, (1, 2, 64, 16))
+    v = _rand(k3, (1, 2, 64, 16))
+    ref = attn_ops.attention_xla(q, k, v)
+    with mesh:
+        out = attn_ops.sp_attention(q, k, v, mesh, inner_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
