@@ -119,7 +119,8 @@ def build_first_frame_mask(num_latent_frames: int, latent_h: int,
 def prepare_conditions_wan21(vae_cfg: wan_vae.WanVAEConfig,
                              vae_params: Params,
                              image: jax.Array, num_frames: int,
-                             traj_video: Optional[jax.Array] = None):
+                             traj_video: Optional[jax.Array] = None,
+                             last_image: Optional[jax.Array] = None):
     """Wan2.1 I2V conditioning (reference ``:437-446, 539-553``): encode
     [image, zeros x (F-1)] as a full clip, then channel-concat the
     temporal condition mask (first frame 1, repeated into the 4x latent
@@ -131,10 +132,18 @@ def prepare_conditions_wan21(vae_cfg: wan_vae.WanVAEConfig,
     H, W = image.shape[2], image.shape[3]
     tscale = vae_cfg.scale_factor_temporal
 
-    video_condition = jnp.concatenate(
-        [image[:, :, None],
-         jnp.zeros((B, image.shape[1], num_frames - 1, H, W), image.dtype)],
-        axis=2)
+    if last_image is None:
+        video_condition = jnp.concatenate(
+            [image[:, :, None],
+             jnp.zeros((B, image.shape[1], num_frames - 1, H, W),
+                       image.dtype)], axis=2)
+    else:
+        # first+last frame conditioning (reference :441-446)
+        video_condition = jnp.concatenate(
+            [image[:, :, None],
+             jnp.zeros((B, image.shape[1], num_frames - 2, H, W),
+                       image.dtype),
+             last_image[:, :, None]], axis=2)
     z = wan_vae.encode(vae_cfg, vae_params, video_condition,
                        sample_mode="argmax")
     latent_condition = wan_vae.normalize_latents(vae_cfg, z)
@@ -142,7 +151,10 @@ def prepare_conditions_wan21(vae_cfg: wan_vae.WanVAEConfig,
 
     # mask_lat_size construction (reference :540-552)
     mask = jnp.ones((B, 1, num_frames, lh, lw), jnp.float32)
-    mask = mask.at[:, :, 1:].set(0.0)
+    if last_image is None:
+        mask = mask.at[:, :, 1:].set(0.0)
+    else:
+        mask = mask.at[:, :, 1:-1].set(0.0)
     first = jnp.repeat(mask[:, :, 0:1], tscale, axis=2)
     mask = jnp.concatenate([first, mask[:, :, 1:]], axis=2)
     mask = mask.reshape(B, -1, tscale, lh, lw).transpose(0, 2, 1, 3, 4)

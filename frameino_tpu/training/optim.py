@@ -28,6 +28,9 @@ class OptimizerConfig:
     lr_warmup_steps: int = 100
     max_train_steps: int = 10000
     max_grad_norm: float = 1.0
+    # accelerator.accumulate analogue (reference trains with 2,
+    # config/train_wan_motion_FrameINO.yaml:64)
+    gradient_accumulation_steps: int = 1
 
 
 def make_schedule(cfg: OptimizerConfig):
@@ -49,6 +52,15 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         wd = cfg.weight_decay if cfg.optimizer == "adamw" else 0.0
         opt = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2,
                           eps=cfg.epsilon, weight_decay=wd)
+    elif cfg.optimizer == "adafactor":
+        # the TPU counterpart of the reference's bitsandbytes AdamW8bit
+        # memory-saving option (factored second moments instead of
+        # quantized ones)
+        opt = optax.adafactor(sched)
     else:
         raise ValueError(f"unsupported optimizer {cfg.optimizer}")
-    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+    if cfg.gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(
+            opt, every_k_schedule=cfg.gradient_accumulation_steps)
+    return opt

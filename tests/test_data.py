@@ -175,3 +175,20 @@ class TestFlowUtils:
         np.testing.assert_allclose(out[0, 0], 0)      # sub-threshold zeroed
         keep_rate = (out[1:] != 0).mean()
         assert 0.4 < keep_rate < 0.6
+
+
+def test_stage1_motion_dataset(fixture_root):
+    from frameino_tpu.data import MotionDataset
+    cfg = FrameINODatasetConfig(
+        target_height=32, target_width=64, sample_accelerate_factor=1,
+        train_frame_num_range=(13, 13), min_train_frame_num=9, dot_radius=7,
+        point_keep_ratio_regular=1.0)
+    ds = MotionDataset(cfg, fixture_root, "csvs", "videos", "ids", seed=0)
+    item = ds[0]
+    F = item["video_tensor"].shape[0]
+    assert F % 4 == 1
+    assert item["ID_tensor"] is None
+    # stage-1 first frame is the REAL frame (no canvas masking)
+    np.testing.assert_array_equal(item["first_frame_np"],
+                                  item["video_gt_np"][0])
+    assert item["traj_tensor"].shape == (F, 3, 32, 64)

@@ -115,3 +115,24 @@ class TestConditionPrep:
         assert m.shape == (1, 1, 3, 2, 2)
         assert float(m[0, 0, 0].sum()) == 0.0
         assert float(m[0, 0, 1:].sum()) == 8.0
+
+
+def test_two_expert_boundary_split(pipe):
+    """Wan2.2 two-expert denoising: high-noise steps route to
+    transformer, low-noise to transformer_2 (reference :804-823)."""
+    from frameino_tpu.models import wan_dit
+    image, traj, ids, text = _conditions()
+    params2 = wan_dit.init_wan_dit(jax.random.key(77), DIT_CFG)
+    pipe2 = P.WanImageToVideoPipeline(
+        DIT_CFG, pipe.dit_params, VAE_CFG, pipe.vae_params,
+        P.WanPipelineConfig(boundary_ratio=0.9),
+        dit_params_2=params2)
+    kw = dict(prompt_embeds=text, traj_tensor=traj, id_tensor=ids,
+              height=16, width=16, num_frames=9, num_inference_steps=4,
+              guidance_scale=2.0, key=jax.random.key(4),
+              output_type="latent", attn_impl="xla")
+    a = pipe2(image, guidance_scale_2=3.0, **kw)
+    assert np.isfinite(np.asarray(a)).all()
+    # a single-expert run with the same params differs (expert 2 kicked in)
+    b = pipe(image, **kw)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
