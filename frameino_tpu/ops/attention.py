@@ -187,7 +187,7 @@ def flash_attention_train(q, k, v, scale: Optional[float] = None,
     keeps their softmax rows finite — important for the backward pass).
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention as _jax_flash, SegmentIds)
+        flash_attention as _jax_flash, BlockSizes, SegmentIds)
 
     scale = scale if scale is not None else _default_scale(q.shape[-1])
     B, H, Sq, D = q.shape
@@ -204,8 +204,16 @@ def flash_attention_train(q, k, v, scale: Optional[float] = None,
         seg = SegmentIds(q=q_seg, kv=kv_seg)
     else:
         seg = None
+    # 512-based blocks measured 78 vs 15 TFLOP/s against the kernel's
+    # defaults at the Wan DiT shapes on v5e
+    bq = min(512, sq_p)
+    bk = min(512, skv_p)
+    bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                    block_q_major_dkv=bq, block_k_major_dkv=bk,
+                    block_k_dkv=bk, block_q_dkv=bq,
+                    block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
     out = _jax_flash(q, k, v, segment_ids=seg, causal=False,
-                     sm_scale=float(scale))
+                     sm_scale=float(scale), block_sizes=bs)
     if sq_p != Sq:
         out = out[:, :, :Sq]
     return out

@@ -72,3 +72,18 @@ def test_sp_attention_matches_global():
     with mesh:
         out = attn_ops.sp_attention(q, k, v, mesh, inner_impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_train_fwd_matches_xla_interpret():
+    """The differentiable (bundled-kernel) path with tuned block sizes
+    and segment-id padding matches the XLA reference (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    q = _rand(k1, (1, 2, 100, 64))
+    k = _rand(k2, (1, 2, 100, 64))
+    v = _rand(k3, (1, 2, 100, 64))
+    ref = attn_ops.attention_xla(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = attn_ops.flash_attention_train(q, k, v, block_multiple=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
