@@ -203,6 +203,12 @@ class CogVideoXImageToVideoPipeline:
 
         if traj_tensor is not None and traj_tensor.ndim == 4:
             traj_tensor = traj_tensor.transpose(1, 0, 2, 3)[None]
+        if id_tensor is not None:
+            # accept [3,H,W], [B,3,H,W] or the Wan-style [B,3,N,H,W]
+            if id_tensor.ndim == 3:
+                id_tensor = id_tensor[None]
+            elif id_tensor.ndim == 5:
+                id_tensor = id_tensor[:, :, 0]
         image_latents, traj_latents, id_latent = prepare_conditions(
             vae_cfg, self.vae_params, image, traj_tensor, id_tensor, F,
             k_cond)

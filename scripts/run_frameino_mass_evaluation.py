@@ -124,8 +124,10 @@ def main():
         for idx in range(n):
             item = dataset[idx]
             F, _, H, W = item["video_tensor"].shape
+            text_dim = getattr(dit_cfg, "text_dim",
+                               getattr(dit_cfg, "text_embed_dim", None))
             text = jnp.zeros((1, int(config.get("max_text_seq_length", 512)),
-                              dit_cfg.text_dim))
+                              text_dim))
             video = pipe(
                 jnp.asarray(item["first_frame_tensor"])[None],
                 prompt_embeds=text,
