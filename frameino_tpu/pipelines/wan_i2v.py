@@ -378,6 +378,8 @@ class WanImageToVideoPipeline:
                  guidance_scale_2: Optional[float] = None,
                  key: Optional[jax.Array] = None,
                  latents: Optional[jax.Array] = None,
+                 image_embeds: Optional[jax.Array] = None,
+                 last_image: Optional[jax.Array] = None,
                  output_type: str = "np",
                  attn_impl: Optional[str] = None):
         vae_cfg = self.vae_cfg
@@ -414,7 +416,8 @@ class WanImageToVideoPipeline:
             # Wan2.1 I2V path: mask+latent channel conditioning, scalar
             # timesteps (reference non-expand branch :437-446, :845-848)
             condition, traj_latents = prepare_conditions_wan21(
-                vae_cfg, self.vae_params, image, num_frames, traj_tensor)
+                vae_cfg, self.vae_params, image, num_frames, traj_tensor,
+                last_image=last_image)
             context_2b = jnp.concatenate(
                 [prompt_embeds, negative_prompt_embeds], axis=0)
             latents = jax.jit(
@@ -423,7 +426,7 @@ class WanImageToVideoPipeline:
                 dit_cfg=self.dit_cfg, dit_params=self.dit_params,
                 latents=latents, condition=condition,
                 traj_latents=traj_latents, context_2b=context_2b,
-                image_embeds=None, sigmas=sigmas[:-1],
+                image_embeds=image_embeds, sigmas=sigmas[:-1],
                 sigmas_next=sigmas[1:], timesteps=timesteps,
                 guidance_scale=float(guidance_scale), attn_impl=attn_impl)
         else:

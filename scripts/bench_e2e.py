@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""End-to-end clip benchmark: seconds per 49-frame 480p FrameINO clip.
+
+The BASELINE.md headline: text encode is excluded (prompt embeddings
+precomputed, as the reference caches none but its cost is shared), so
+the measurement covers VAE condition encodes + the full 50-step CFG
+denoise scan + tiled VAE decode on one chip at 480x832x49f with the 5B
+Wan2.2 DiT and the real Wan2.2 VAE architecture (zero weights; timing
+is value-independent).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from frameino_tpu.models import wan_dit, wan_vae
+from frameino_tpu.models.wan_vae_tiling import (tiled_decode,
+                                                 tiled_encode)
+from frameino_tpu.pipelines import wan_i2v as P
+
+# 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
+# VAE compiles one tile shape instead of four — the remote compiler is
+# the bottleneck, not the chip. 448 is also the CogVideoX eval height.
+H, W, F = 448, 832, 49
+STEPS = 50
+
+
+def zeros_like_tree(shapes):
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
+
+
+def main():
+    dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
+    vae_cfg = wan_vae.WAN22_VAE_CONFIG
+    dit_params = zeros_like_tree(jax.eval_shape(
+        lambda k: wan_dit.init_wan_dit(k, dit_cfg), jax.random.key(0)))
+    vae_params = zeros_like_tree(jax.eval_shape(
+        lambda k: wan_vae.init_wan_vae(k, vae_cfg), jax.random.key(0)))
+
+    key = jax.random.key(0)
+    image = jnp.zeros((1, 3, H, W), jnp.float32)
+    traj = jnp.zeros((1, 3, F, H, W), jnp.float32)
+    ids = jnp.zeros((1, 3, 1, H, W), jnp.float32)
+    text = jnp.zeros((1, 512, dit_cfg.text_dim), jnp.bfloat16)
+
+    def enc(v):
+        # tiled encode bounds memory next to the resident 10GB DiT
+        moments = tiled_encode(vae_cfg, vae_params, v, tile_min=256,
+                               tile_stride=192)
+        mean = moments[:, :vae_cfg.z_dim]
+        return wan_vae.normalize_latents(vae_cfg, mean)
+
+    def encode_and_denoise():
+        cond = enc(image[:, :, None])
+        traj_lat = enc(traj)
+        id_lat = enc(ids[:, :, :1])
+        traj_lat = jnp.concatenate(
+            [traj_lat, jnp.zeros_like(id_lat)], axis=2)
+        shape = P.latent_shape(vae_cfg, 1, F, H, W)
+        mask = P.build_first_frame_mask(shape[2], shape[3], shape[4])
+        latents = jax.random.normal(key, shape, jnp.float32)
+        from frameino_tpu.schedulers.flow_match_euler import inference_sigmas
+        sigmas_np, ts_np = inference_sigmas(
+            P.WanPipelineConfig().scheduler, STEPS)
+        lat = P.denoise(dit_cfg, dit_params, latents, cond, traj_lat,
+                        id_lat, mask, text, jnp.zeros_like(text),
+                        jnp.asarray(sigmas_np), jnp.asarray(ts_np),
+                        guidance_scale=5.0)
+        return lat
+
+    t0 = time.time()
+    lat = encode_and_denoise()
+    float(lat[0, 0, 0, 0, 0])                       # force
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    lat = encode_and_denoise()
+    float(lat[0, 0, 0, 0, 0])
+    denoise_s = time.time() - t0
+
+    z = wan_vae.denormalize_latents(vae_cfg, lat)
+    # 128/64 tiles: the Wan2.2 decoder's full-sequence activations at a
+    # 256px tile exceed HBM next to the resident 10GB DiT; 128px tiles
+    # are uniform for 448x832 (H,W = 64k+128) and fit
+    t0 = time.time()
+    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
+                         tile_stride=64)
+    float(video[0, 0, 0, 0, 0])
+    decode_first = time.time() - t0
+    t0 = time.time()
+    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
+                         tile_stride=64)
+    float(video[0, 0, 0, 0, 0])
+    decode_s = time.time() - t0
+
+    total = denoise_s + decode_s
+    print(json.dumps({
+        "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip",
+        "value": round(total, 2),
+        "unit": "seconds (VAE encodes + 50-step CFG denoise + tiled decode)",
+        "denoise_s": round(denoise_s, 2),
+        "decode_s": round(decode_s, 2),
+    }))
+    print(f"# first-call: denoise+compile {compile_and_first:.0f}s, "
+          f"decode+compile {decode_first:.0f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
