@@ -26,6 +26,21 @@ TILE_SAMPLE_MIN = 256
 TILE_SAMPLE_STRIDE = 192
 
 
+def _positions(total: int, tile: int, stride: int):
+    """Tile start positions, stopping once the edge is covered.
+
+    Unlike the reference's ``range(0, total, stride)`` (which emits
+    redundant truncated tail tiles), iteration stops at the first tile
+    reaching the edge — on TPU every distinct tile shape is a separate
+    multi-minute compilation, so when (total - tile) % stride == 0 ALL
+    tiles share one shape.
+    """
+    out = [0]
+    while out[-1] + tile < total:
+        out.append(out[-1] + stride)
+    return out
+
+
 def _blend_v(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
     """Blend bottom rows of `a` into top rows of `b` (reference blend_v)."""
     extent = min(a.shape[-2], b.shape[-2], extent)
@@ -61,10 +76,12 @@ def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
     lat_stride = tile_stride // sc
     blend = tile_min // sc - lat_stride
 
+    ys = _positions(H, tile_min, tile_stride)
+    xs = _positions(W, tile_min, tile_stride)
     rows = []
-    for i in range(0, H, tile_stride):
+    for i in ys:
         row = []
-        for j in range(0, W, tile_stride):
+        for j in xs:
             tile = video[:, :, :, i:i + tile_min, j:j + tile_min]
             row.append(wan_vae.encode_moments(cfg, params, tile))
         rows.append(row)
@@ -77,7 +94,10 @@ def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
                 tile = _blend_v(rows[i - 1][j], tile, blend)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend)
-            result_row.append(tile[:, :, :, :lat_stride, :lat_stride])
+            # the last tile keeps its full extent (it covers the edge)
+            ch = lat_stride if i < len(ys) - 1 else tile.shape[-2]
+            cw = lat_stride if j < len(xs) - 1 else tile.shape[-1]
+            result_row.append(tile[:, :, :, :ch, :cw])
         result_rows.append(jnp.concatenate(result_row, axis=-1))
     out = jnp.concatenate(result_rows, axis=-2)
     return out[:, :, :, :H // sc, :W // sc]
@@ -97,10 +117,12 @@ def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
         return wan_vae.decode(cfg, params, z)
     blend = tile_min - tile_stride
 
+    ys = _positions(h, lat_min, lat_stride)
+    xs = _positions(w, lat_min, lat_stride)
     rows = []
-    for i in range(0, h, lat_stride):
+    for i in ys:
         row = []
-        for j in range(0, w, lat_stride):
+        for j in xs:
             tile = z[:, :, :, i:i + lat_min, j:j + lat_min]
             row.append(wan_vae.decode(cfg, params, tile, clamp=False))
         rows.append(row)
@@ -113,7 +135,9 @@ def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
                 tile = _blend_v(rows[i - 1][j], tile, blend)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend)
-            result_row.append(tile[:, :, :, :tile_stride, :tile_stride])
+            ch = tile_stride if i < len(ys) - 1 else tile.shape[-2]
+            cw = tile_stride if j < len(xs) - 1 else tile.shape[-1]
+            result_row.append(tile[:, :, :, :ch, :cw])
         result_rows.append(jnp.concatenate(result_row, axis=-1))
     out = jnp.concatenate(result_rows, axis=-2)
     return jnp.clip(out[:, :, :, :h * sc, :w * sc], -1.0, 1.0)
