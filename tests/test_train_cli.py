@@ -81,7 +81,7 @@ def _run(cfg_path):
         [sys.executable, os.path.join(REPO, "scripts",
                                       "train_wan_motion_frameino.py"),
          "--config_path", str(cfg_path), "--smoke"],
-        capture_output=True, text=True, timeout=500, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
 
 
 def test_train_and_resume(smoke_env):
