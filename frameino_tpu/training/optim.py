@@ -31,6 +31,11 @@ class OptimizerConfig:
     # accelerator.accumulate analogue (reference trains with 2,
     # config/train_wan_motion_FrameINO.yaml:64)
     gradient_accumulation_steps: int = 1
+    # skip optimizer updates when grads go NaN/inf (failure-detection
+    # guard the reference lacks; resume-from-checkpoint is its only
+    # recovery, SURVEY §5)
+    skip_nonfinite_updates: bool = False
+    max_consecutive_nonfinite: int = 10
 
 
 def make_schedule(cfg: OptimizerConfig):
@@ -60,6 +65,8 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unsupported optimizer {cfg.optimizer}")
     opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+    if cfg.skip_nonfinite_updates:
+        opt = optax.apply_if_finite(opt, cfg.max_consecutive_nonfinite)
     if cfg.gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(
             opt, every_k_schedule=cfg.gradient_accumulation_steps)

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from frameino_tpu.models import wan_dit, wan_vae
-from frameino_tpu.models.wan_vae_tiling import (tiled_decode,
-                                                 tiled_encode)
+from frameino_tpu.models.wan_vae_streaming import streaming_decode
+from frameino_tpu.models.wan_vae_tiling import tiled_encode
 from frameino_tpu.pipelines import wan_i2v as P
 
 # 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
@@ -85,17 +85,15 @@ def main():
     denoise_s = time.time() - t0
 
     z = wan_vae.denormalize_latents(vae_cfg, lat)
-    # 128/64 tiles: the Wan2.2 decoder's full-sequence activations at a
-    # 256px tile exceed HBM next to the resident 10GB DiT; 128px tiles
-    # are uniform for 448x832 (H,W = 64k+128) and fit
+    # temporally-chunked full-width decode at the reference's 1-latent-
+    # frame granularity: 2-frame chunks still exceed HBM next to the
+    # resident 10GB DiT at this resolution
     t0 = time.time()
-    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
-                         tile_stride=64)
+    video = streaming_decode(vae_cfg, vae_params, z, chunk_latent_frames=1)
     float(video[0, 0, 0, 0, 0])
     decode_first = time.time() - t0
     t0 = time.time()
-    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
-                         tile_stride=64)
+    video = streaming_decode(vae_cfg, vae_params, z, chunk_latent_frames=1)
     float(video[0, 0, 0, 0, 0])
     decode_s = time.time() - t0
 
@@ -103,7 +101,7 @@ def main():
     print(json.dumps({
         "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip",
         "value": round(total, 2),
-        "unit": "seconds (VAE encodes + 50-step CFG denoise + tiled decode)",
+        "unit": "seconds (VAE encodes + 50-step CFG denoise + streaming decode)",
         "denoise_s": round(denoise_s, 2),
         "decode_s": round(decode_s, 2),
     }))

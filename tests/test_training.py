@@ -102,3 +102,23 @@ class TestTrainStep:
             # params remain sharded after the update
             leaf = state.params["blocks"]["attn1"]["to_q"]["kernel"]
             assert not leaf.sharding.is_fully_replicated
+
+
+def test_nonfinite_gradient_guard():
+    """skip_nonfinite_updates leaves params untouched on a NaN batch."""
+    import optax
+    from frameino_tpu.training.optim import OptimizerConfig, make_optimizer
+    # constant schedule: the skipped NaN step must not consume warmup
+    opt = make_optimizer(OptimizerConfig(learning_rate=1e-2,
+                                         lr_scheduler="constant",
+                                         skip_nonfinite_updates=True))
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    bad_grads = {"w": jnp.full((4,), jnp.nan)}
+    updates, state = opt.update(bad_grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["w"]), 1.0)
+    good = {"w": jnp.ones((4,))}
+    updates, state = opt.update(good, state, params)
+    new = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(new["w"]), 1.0)
