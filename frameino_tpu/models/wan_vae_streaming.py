@@ -1,26 +1,35 @@
-"""Streaming (temporally-chunked) Wan VAE decode/encode.
+"""Streaming (temporally-chunked) Wan VAE decode/encode — jitted chunks.
 
 The full-sequence decoder (``wan_vae.decode``) is fastest when its
-activations fit; at 5B-inference memory budgets the decoder tail
-([T, H, W, base_dim] at full resolution) can exceed HBM next to the
-resident DiT. This module decodes in LATENT-FRAME CHUNKS at full width,
-carrying the reference's per-conv feature caches across chunks — the
-same protocol as the reference's frame-by-frame decode
-(``autoencoder_kl_wan.py:1198-1227``) but with a configurable chunk
-size (>1 latent frame per step amortizes kernel launches and keeps the
-MXU busy) and no spatial tiling.
+activations fit; at 5B-inference memory budgets the decoder can exceed
+HBM next to the resident DiT. This module processes LATENT-FRAME CHUNKS
+at full width, carrying the reference's per-conv feature caches across
+chunks (``autoencoder_kl_wan.py:1198-1227`` frame-by-frame decode /
+``:1145-1169`` 1+4k encode) with a configurable chunk size.
 
-Numerics: identical to ``wan_vae.decode`` (the chunk protocol and the
-full-sequence form are equivalent — see ``wan_vae``'s module docstring
-and the chunk-equivalence tests). Chunk boundaries only change float
-association, not semantics.
+TPU execution model: each chunk runs as ONE jitted program taking
+``(params, x_chunk, caches)`` and returning ``(out, new_caches)`` — so
+intermediates are freed inside XLA instead of piling up in the async
+dispatch queue (eager chunk loops OOM on the tunneled backend because
+nothing synchronizes). Three programs compile in total: the first
+chunk (no caches), the second (caches partially filled), and steady
+state.
 
-Encode is provided too (chunks of 4k frames after the first 1+4k).
+"Rep" marker equivalence: the reference marks a fresh upsample3d cache
+with the string "Rep" (``:271-282``), which makes the next chunk (a)
+run the time conv with full causal zero padding and (b) seed the cache
+with a zero frame. Both behaviors are exactly reproduced by a cache of
+two ZERO frames, so caches here are always arrays and cross the jit
+boundary as regular pytree leaves.
+
+Numerics match ``wan_vae.decode``/``encode_moments`` exactly (chunk
+protocol == full-sequence form; see the equivalence tests).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+import functools
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,23 +86,18 @@ def _res_chunk(p, x, cache, idx):
 
 
 def _up3d_chunk(p, x, cache, idx):
-    """upsample3d with the reference "Rep" cache semantics."""
+    """upsample3d; a fresh cache slot ("Rep" in the reference) is the
+    first-chunk bypass and seeds a two-zero-frame cache."""
     B, T, H, W, C = x.shape
     i = idx[0]
     if cache[i] is None:
-        cache[i] = "Rep"
+        cache[i] = jnp.zeros((B, 2, H, W, C), x.dtype)
         idx[0] += 1
     else:
         cache_x = x[:, -CACHE_T:]
-        if cache_x.shape[1] < 2 and not isinstance(cache[i], str):
+        if cache_x.shape[1] < 2:
             cache_x = jnp.concatenate([cache[i][:, -1:], cache_x], axis=1)
-        if cache_x.shape[1] < 2 and isinstance(cache[i], str):
-            cache_x = jnp.concatenate([jnp.zeros_like(cache_x), cache_x],
-                                      axis=1)
-        if isinstance(cache[i], str):
-            x = _cconv_fwd(x, p["time_conv"], None, (1, 0, 0))
-        else:
-            x = _cconv_fwd(x, p["time_conv"], cache[i], (1, 0, 0))
+        x = _cconv_fwd(x, p["time_conv"], cache[i], (1, 0, 0))
         cache[i] = cache_x
         idx[0] += 1
         t = x.shape[1]
@@ -106,11 +110,12 @@ def _down3d_chunk(p, x, cache, idx):
     x = M.spatial_resample_apply(p, x, "downsample3d")
     i = idx[0]
     if cache[i] is None:
-        cache[i] = x
+        # first chunk: identity bypass; only the last frame is consumed
+        cache[i] = x[:, -1:]
         idx[0] += 1
         return x
     cache_x = x[:, -1:]
-    x = _cconv_fwd(jnp.concatenate([cache[i][:, -1:], x], axis=1),
+    x = _cconv_fwd(jnp.concatenate([cache[i], x], axis=1),
                    p["time_conv"], None, 0, stride=(2, 1, 1))
     cache[i] = cache_x
     idx[0] += 1
@@ -138,37 +143,6 @@ def _decoder_chunk(cfg, params, x, cache, idx, first_chunk):
     x = jax.nn.silu(M._rms(x, params["norm_out"]))
     x = _cconv_call(x, params["conv_out"], cache, idx, 1)
     return x
-
-
-def streaming_decode(cfg: M.WanVAEConfig, params: Params, z: jax.Array,
-                     chunk_latent_frames: int = 2,
-                     clamp: bool = True) -> jax.Array:
-    """z [B, z, T', h, w] -> video [B, Cout, T, H, W].
-
-    First chunk is 1 latent frame (the reference's causal bootstrap),
-    then ``chunk_latent_frames`` per step with conv caches carried.
-    Peak memory ~ one chunk's decoder activations at full width.
-    """
-    x = M._to_cl(z)
-    x = cops.causal_conv3d(x, **params["post_quant_conv"])
-    T = x.shape[1]
-    cache: List = [None] * 512
-    outs = []
-    pos = 0
-    first = True
-    while pos < T:
-        n = 1 if first else min(chunk_latent_frames, T - pos)
-        idx = [0]
-        outs.append(_decoder_chunk(cfg, params["decoder"],
-                                   x[:, pos:pos + n], cache, idx,
-                                   first_chunk=first))
-        pos += n
-        first = False
-    out = jnp.concatenate(outs, axis=1)
-    if cfg.patch_size is not None:
-        out = M.unpatchify(out, cfg.patch_size)
-    out = M._to_cf(out)
-    return jnp.clip(out, -1.0, 1.0) if clamp else out
 
 
 def _encoder_chunk(cfg, params, x, cache, idx):
@@ -203,30 +177,75 @@ def _encoder_chunk(cfg, params, x, cache, idx):
     return x
 
 
+_MAX_CACHE = 512
+
+
+def _run_chunks(chunk_body, params, x, chunk_sizes):
+    """Drive jitted per-chunk programs with caches as pytree state.
+
+    ``chunk_body(params, xc, cache_list, first)`` mutates the trace-time
+    cache list. Retracing happens automatically when cache shapes evolve
+    (first chunk -> partially filled -> steady state): 2-3 programs.
+    """
+    @functools.partial(jax.jit, static_argnames=("first",))
+    def step(params, xc, caches, first):
+        cache: List = list(caches) + [None] * (_MAX_CACHE - len(caches))
+        idx = [0]
+        out = chunk_body(params, xc, cache, idx, first)
+        return out, tuple(cache[:idx[0]])
+
+    outs = []
+    caches: Tuple = ()
+    pos = 0
+    for ci, n in enumerate(chunk_sizes):
+        out, caches = step(params, x[:, pos:pos + n], caches, ci == 0)
+        outs.append(out)
+        pos += n
+    return jnp.concatenate(outs, axis=1)
+
+
+def streaming_decode(cfg: M.WanVAEConfig, params: Params, z: jax.Array,
+                     chunk_latent_frames: int = 2,
+                     clamp: bool = True) -> jax.Array:
+    """z [B, z, T', h, w] -> video [B, Cout, T, H, W].
+
+    First chunk is 1 latent frame (the causal bootstrap), then
+    ``chunk_latent_frames`` per jitted step with conv caches carried.
+    Peak memory ~ one chunk's decoder activations at full width.
+    """
+    x = M._to_cl(z)
+    x = cops.causal_conv3d(x, **params["post_quant_conv"])
+    T = x.shape[1]
+    sizes = [1]
+    while sum(sizes) < T:
+        sizes.append(min(chunk_latent_frames, T - sum(sizes)))
+
+    def body(p, xc, cache, idx, first):
+        return _decoder_chunk(cfg, p, xc, cache, idx, first_chunk=first)
+
+    out = _run_chunks(body, params["decoder"], x, sizes)
+    if cfg.patch_size is not None:
+        out = M.unpatchify(out, cfg.patch_size)
+    out = M._to_cf(out)
+    return jnp.clip(out, -1.0, 1.0) if clamp else out
+
+
 def streaming_encode_moments(cfg: M.WanVAEConfig, params: Params,
                              video: jax.Array,
                              chunk_pixel_frames: int = 8) -> jax.Array:
-    """Chunked encode (first 1 frame, then multiples of 4 pixel frames).
-
-    ``chunk_pixel_frames`` must be a multiple of 4 so temporal pooling
-    stays aligned with the causal chunk protocol.
-    """
+    """Chunked encode (first 1 frame, then multiples of 4 pixel frames)."""
     assert chunk_pixel_frames % 4 == 0
     x = M._to_cl(video)
     if cfg.patch_size is not None:
         x = M.patchify(x, cfg.patch_size)
     T = x.shape[1]
-    cache: List = [None] * 512
-    outs = []
-    pos = 0
-    first = True
-    while pos < T:
-        n = 1 if first else min(chunk_pixel_frames, T - pos)
-        idx = [0]
-        outs.append(_encoder_chunk(cfg, params["encoder"],
-                                   x[:, pos:pos + n], cache, idx))
-        pos += n
-        first = False
-    out = jnp.concatenate(outs, axis=1)
+    sizes = [1]
+    while sum(sizes) < T:
+        sizes.append(min(chunk_pixel_frames, T - sum(sizes)))
+
+    def body(p, xc, cache, idx, first):
+        return _encoder_chunk(cfg, p, xc, cache, idx)
+
+    out = _run_chunks(body, params["encoder"], x, sizes)
     out = cops.causal_conv3d(out, **params["quant_conv"])
     return M._to_cf(out)
