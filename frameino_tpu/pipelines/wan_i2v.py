@@ -381,6 +381,7 @@ class WanImageToVideoPipeline:
                  image_embeds: Optional[jax.Array] = None,
                  last_image: Optional[jax.Array] = None,
                  output_type: str = "np",
+                 decode_mode: str = "full",
                  attn_impl: Optional[str] = None):
         vae_cfg = self.vae_cfg
         num_frames = round_num_frames(num_frames,
@@ -454,7 +455,15 @@ class WanImageToVideoPipeline:
         if output_type == "latent":
             return latents
         z = wan_vae.denormalize_latents(vae_cfg, latents)
-        video = wan_vae.decode(vae_cfg, self.vae_params, z)
+        if decode_mode == "streaming":
+            # bounded-memory decode next to a resident DiT
+            from frameino_tpu.models.wan_vae_streaming import streaming_decode
+            video = streaming_decode(vae_cfg, self.vae_params, z)
+        elif decode_mode == "tiled":
+            from frameino_tpu.models.wan_vae_tiling import tiled_decode
+            video = tiled_decode(vae_cfg, self.vae_params, z)
+        else:
+            video = wan_vae.decode(vae_cfg, self.vae_params, z)
         if output_type == "np":
             return np.asarray(video)
         return video

@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from frameino_tpu.models import wan_dit, wan_vae
-from frameino_tpu.models.wan_vae_streaming import streaming_decode
-from frameino_tpu.models.wan_vae_tiling import tiled_encode
+from frameino_tpu.models.wan_vae_tiling import tiled_decode, tiled_encode
 from frameino_tpu.pipelines import wan_i2v as P
 
 # 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
@@ -84,16 +83,20 @@ def main():
     float(lat[0, 0, 0, 0, 0])
     denoise_s = time.time() - t0
 
-    z = wan_vae.denormalize_latents(vae_cfg, lat)
-    # temporally-chunked full-width decode at the reference's 1-latent-
-    # frame granularity: 2-frame chunks still exceed HBM next to the
-    # resident 10GB DiT at this resolution
+    # decode in bf16 (the reference casts latents to vae.dtype, pipeline
+    # :916); fp32 decode activations would double HBM next to the DiT
+    z = wan_vae.denormalize_latents(vae_cfg, lat).astype(jnp.bfloat16)
+    # Decode-mode survey on this chip (resident 10GB DiT):
+    #   full-sequence: OOM; streaming 1-frame chunks: fits, 58.0s;
+    #   128/64 spatial tiles: fits, 26.3s  <- fastest that fits
     t0 = time.time()
-    video = streaming_decode(vae_cfg, vae_params, z, chunk_latent_frames=1)
+    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
+                         tile_stride=64)
     float(video[0, 0, 0, 0, 0])
     decode_first = time.time() - t0
     t0 = time.time()
-    video = streaming_decode(vae_cfg, vae_params, z, chunk_latent_frames=1)
+    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
+                         tile_stride=64)
     float(video[0, 0, 0, 0, 0])
     decode_s = time.time() - t0
 
@@ -101,7 +104,7 @@ def main():
     print(json.dumps({
         "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip",
         "value": round(total, 2),
-        "unit": "seconds (VAE encodes + 50-step CFG denoise + streaming decode)",
+        "unit": "seconds (VAE encodes + 50-step CFG denoise + tiled decode)",
         "denoise_s": round(denoise_s, 2),
         "decode_s": round(decode_s, 2),
     }))
