@@ -79,6 +79,17 @@ WAN22_TI2V_5B = WanDiTConfig()
 # the input (reference train_code/train_wan_motion.py:723-746 surgery).
 WAN22_TI2V_5B_MOTION = dataclasses.replace(WAN22_TI2V_5B, in_channels=96)
 
+# Wan2.1-I2V-14B: dim 5120 = 40 x 128, 40 layers, CLIP image-KV branch,
+# 36 input channels (16 noisy + 4 mask + 16 image latents).
+WAN21_I2V_14B = WanDiTConfig(
+    num_attention_heads=40, attention_head_dim=128, in_channels=36,
+    out_channels=16, ffn_dim=13824, num_layers=40,
+    image_dim=1280, added_kv_proj_dim=5120)
+# Wan2.1-T2V-1.3B: dim 1536 = 12 x 128, 30 layers.
+WAN21_T2V_1_3B = WanDiTConfig(
+    num_attention_heads=12, attention_head_dim=128, in_channels=16,
+    out_channels=16, ffn_dim=8960, num_layers=30)
+
 
 def tiny_config(**kw) -> WanDiTConfig:
     base = dict(num_attention_heads=2, attention_head_dim=24, in_channels=8,
