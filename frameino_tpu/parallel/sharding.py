@@ -49,8 +49,13 @@ _DIT_RULES = [
     (r".*patch_embedding\.kernel$", (None, "fsdp")),
     (r".*proj_out\.kernel$", ("fsdp", None)),
     (r".*text_embedder\.linear_1\.kernel$", ("fsdp", None)),
+    # time-embedding MLP + 6-way projection: activations are [B, dim]
+    # scalars-per-example; sharding these kernels makes GSPMD reshard
+    # tiny tensors every step ("involuntary full rematerialization"
+    # warnings) — replicate them instead
+    (r".*time_embedder\.linear_\d\.kernel$", (None,)),
+    (r".*time_proj\.kernel$", (None,)),
     (r".*linear_\d\.kernel$", (None, "fsdp")),
-    (r".*time_proj\.kernel$", (None, "fsdp")),
 ]
 
 
