@@ -219,7 +219,25 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
 
 
-def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable):
+def _dispatch_attention(q, k, v, cfg, attn_impl, differentiable, mesh,
+                        gather_kv):
+    """Single- or sequence-parallel attention on [B, H, S, D] heads.
+
+    When the active mesh has sp>1 and the shapes divide, the call runs as
+    an sp_attention shard_map (queries sharded along the sequence over the
+    sp axis; KV all-gathered over ICI for self-attention, replicated for
+    cross-attention to text). Falls back to plain attention otherwise.
+    """
+    if attn_ops.sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv):
+        return attn_ops.sp_attention(q, k, v, mesh, gather_kv=gather_kv,
+                                     impl=attn_impl,
+                                     differentiable=differentiable)
+    return attn_ops.attention(q, k, v, impl=attn_impl,
+                              differentiable=differentiable)
+
+
+def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,
+                    mesh=None):
     eps = cfg.eps
     q = dense(x, p["to_q"])
     k = dense(x, p["to_k"])
@@ -231,13 +249,13 @@ def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable):
     v = _split_heads(v, cfg.num_attention_heads)
     q = rope_ops.apply_rope_interleaved(q, cos, sin)
     k = rope_ops.apply_rope_interleaved(k, cos, sin)
-    o = attn_ops.attention(q, k, v, impl=attn_impl,
-                           differentiable=differentiable)
+    o = _dispatch_attention(q, k, v, cfg, attn_impl, differentiable, mesh,
+                            gather_kv=True)
     return dense(_merge_heads(o), p["to_out"])
 
 
 def _cross_attention(p, x, context, context_img, cfg, attn_impl,
-                     differentiable):
+                     differentiable, mesh=None):
     eps = cfg.eps
     q = dense(x, p["to_q"])
     q = _qk_norm_across_heads(q, p["norm_q"], eps)
@@ -248,22 +266,24 @@ def _cross_attention(p, x, context, context_img, cfg, attn_impl,
     k = _qk_norm_across_heads(k, p["norm_k"], eps)
     kh = _split_heads(k, cfg.num_attention_heads)
     vh = _split_heads(v, cfg.num_attention_heads)
-    o = attn_ops.attention(qh, kh, vh, impl=attn_impl,
-                           differentiable=differentiable)
+    o = _dispatch_attention(qh, kh, vh, cfg, attn_impl, differentiable,
+                            mesh, gather_kv=False)
 
     if context_img is not None and "add_k_proj" in p:
         k_img = dense(context_img, p["add_k_proj"])
         k_img = _qk_norm_across_heads(k_img, p["norm_added_k"], eps)
         v_img = dense(context_img, p["add_v_proj"])
-        o_img = attn_ops.attention(qh, _split_heads(k_img, cfg.num_attention_heads),
-                                   _split_heads(v_img, cfg.num_attention_heads),
-                                   impl=attn_impl, differentiable=differentiable)
+        o_img = _dispatch_attention(
+            qh, _split_heads(k_img, cfg.num_attention_heads),
+            _split_heads(v_img, cfg.num_attention_heads),
+            cfg, attn_impl, differentiable, mesh, gather_kv=False)
         o = o + o_img
     return dense(_merge_heads(o), p["to_out"])
 
 
 def _block_forward(cfg: WanDiTConfig, p: Params, x, context, context_img,
-                   timestep_proj, cos, sin, attn_impl, differentiable):
+                   timestep_proj, cos, sin, attn_impl, differentiable,
+                   mesh=None):
     """WanTransformerBlock.forward (reference :308-350).
 
     x: [B, S, D] compute dtype; timestep_proj fp32 [B, (S|1), 6, D].
@@ -276,7 +296,7 @@ def _block_forward(cfg: WanDiTConfig, p: Params, x, context, context_img,
     # 1. self attention
     norm_x = (layer_norm(x, eps=cfg.eps) * (1 + scale_msa) + shift_msa)
     attn_out = _self_attention(p["attn1"], norm_x.astype(x.dtype), cos, sin,
-                               cfg, attn_impl, differentiable)
+                               cfg, attn_impl, differentiable, mesh)
     x = (x.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa
          ).astype(x.dtype)
 
@@ -287,7 +307,7 @@ def _block_forward(cfg: WanDiTConfig, p: Params, x, context, context_img,
     else:
         norm_x = x
     x = x + _cross_attention(p["attn2"], norm_x, context, context_img, cfg,
-                             attn_impl, differentiable)
+                             attn_impl, differentiable, mesh)
 
     # 3. feed-forward (gelu-approximate)
     norm_x = (layer_norm(x, eps=cfg.eps) * (1 + c_scale) + c_shift)
@@ -321,13 +341,19 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
                     *,
                     attn_impl: Optional[str] = None,
                     differentiable: bool = False,
-                    remat: bool = False) -> jax.Array:
+                    remat: bool = False,
+                    mesh=None) -> jax.Array:
     """WanTransformer3DModel.forward (reference :454-551).
 
     hidden_states: [B, C, F, H, W] (latent + condition channels).
     timestep: [B] float, or [B, S] per-token (Wan2.2 TI2V expand path).
     encoder_hidden_states: [B, L, text_dim] UMT5 features.
     Returns [B, out_channels, F, H, W].
+
+    ``mesh``: active jax.sharding.Mesh. With an sp>1 axis, video tokens
+    are sharded along the sequence and every attention call runs as a
+    sequence-parallel shard_map (all-gather-KV context parallelism) —
+    the long-context headroom the reference never had (SURVEY §5).
     """
     B, C, F, H, W = hidden_states.shape
     pt, ph, pw = cfg.patch_size
@@ -339,6 +365,9 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
 
     x = _patchify_tokens(hidden_states, cfg.patch_size)
     x = dense(x, params["patch_embedding"])
+    if mesh is not None:
+        from frameino_tpu.parallel.sharding import constrain
+        x = constrain(x, mesh, "tokens")
 
     ce = params["condition_embedder"]
     t_freq = sinusoidal_timestep_embedding(timestep.astype(jnp.float32),
@@ -363,7 +392,8 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
 
     def body(carry, layer_params):
         h = _block_forward(cfg, layer_params, carry, context, context_img,
-                           timestep_proj, cos, sin, attn_impl, differentiable)
+                           timestep_proj, cos, sin, attn_impl, differentiable,
+                           mesh)
         return h, None
 
     if remat:

@@ -246,8 +246,29 @@ def attention(q, k, v, scale: Optional[float] = None, *,
 # Sequence-parallel attention (sp axis): all-gather-KV shard_map
 # ---------------------------------------------------------------------------
 
-def sp_attention(q, k, v, mesh, scale: Optional[float] = None,
-                 axis: str = "sp", inner_impl: Optional[str] = None):
+def sp_supported(mesh, q_shape, kv_len: int, *, axis: str = "sp",
+                 batch_axes=("dp", "fsdp"), head_axis: str = "tp",
+                 gather_kv: bool = True) -> bool:
+    """True iff sp_attention's shard_map divisibility constraints hold."""
+    if mesh is None:
+        return False
+    sp = mesh.shape.get(axis, 1)
+    if sp <= 1:
+        return False
+    B, H, S, _ = q_shape
+    bsz = 1
+    for a in batch_axes:
+        bsz *= mesh.shape.get(a, 1)
+    tp = mesh.shape.get(head_axis, 1)
+    if gather_kv and kv_len % sp != 0:
+        return False
+    return S % sp == 0 and B % bsz == 0 and H % tp == 0
+
+
+def sp_attention(q, k, v, mesh, scale: Optional[float] = None, *,
+                 axis: str = "sp", batch_axes=("dp", "fsdp"),
+                 head_axis: str = "tp", gather_kv: bool = True,
+                 impl: Optional[str] = None, differentiable: bool = False):
     """Sequence-parallel attention: queries stay sharded over ``axis``
     along the sequence dim; keys/values are all-gathered over ICI so each
     shard computes attention for its query slice against the full
@@ -255,22 +276,38 @@ def sp_attention(q, k, v, mesh, scale: Optional[float] = None,
     headroom the reference (single-device SDPA, SURVEY §5 "long-context:
     none") never had.
 
-    q/k/v: [B, H, S, D] GLOBAL arrays (sharded or not); returns the same
-    global shape. Requires S % mesh.shape[axis] == 0.
+    q/k/v: [B, H, S, D] GLOBAL arrays. Batch rides ``batch_axes``, heads
+    ride ``head_axis`` (tensor parallel), sequence rides ``axis`` — so the
+    shard_map owns the full mesh layout and no axis is silently gathered.
+    With ``gather_kv=False`` the key/value sequence is treated as
+    replicated (cross-attention to text: small, no gather needed).
+    Differentiable: all_gather transposes to psum_scatter under AD.
+
+    Requires Sq % sp == 0 (and Skv % sp == 0 when gather_kv),
+    B % prod(batch_axes) == 0, H % tp == 0 — check with ``sp_supported``.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     scale = scale if scale is not None else _default_scale(q.shape[-1])
-    spec = P(None, None, axis, None)
+    spec_q = P(batch_axes, head_axis, axis, None)
+    spec_kv = spec_q if gather_kv else P(batch_axes, head_axis, None, None)
+
+    use_pallas = (impl == "pallas") or (impl is None and _on_tpu())
 
     def local(ql, kl, vl):
-        k_full = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
-        v_full = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
-        if inner_impl == "xla" or not _on_tpu():
-            return attention_xla(ql, k_full, v_full, scale)
-        return flash_attention_inference(ql, k_full, v_full, scale)
+        if gather_kv:
+            kl = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
+            vl = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
+        if not use_pallas:
+            return attention_xla(ql, kl, vl, scale)
+        if differentiable:
+            return flash_attention_train(ql, kl, vl, scale)
+        return flash_attention_inference(ql, kl, vl, scale)
 
     return shard_map(local, mesh=mesh,
-                     in_specs=(spec, spec, spec), out_specs=spec,
+                     in_specs=(spec_q, spec_kv, spec_kv), out_specs=spec_q,
                      check_rep=False)(q, k, v)

@@ -353,6 +353,7 @@ class WanImageToVideoPipeline:
                  vae_cfg: wan_vae.WanVAEConfig, vae_params: Params,
                  pipe_cfg: WanPipelineConfig = WanPipelineConfig(),
                  text_encoder_fn=None,
+                 image_encoder_fn=None,
                  dit_params_2: Optional[Params] = None):
         self.dit_cfg = dit_cfg
         self.dit_params = dit_params
@@ -361,6 +362,10 @@ class WanImageToVideoPipeline:
         self.vae_params = vae_params
         self.pipe_cfg = pipe_cfg
         self.text_encoder_fn = text_encoder_fn
+        # CLIP vision tower for the Wan2.1 I2V image-KV branch (reference
+        # pipeline_wan_i2v_motion.py:22,65-66); see
+        # frameino_tpu/models/clip_vision.make_image_encoder_fn
+        self.image_encoder_fn = image_encoder_fn
 
     def __call__(self,
                  image: jax.Array,
@@ -412,6 +417,10 @@ class WanImageToVideoPipeline:
         sigmas_np, timesteps_np = inference_sigmas(sched, num_inference_steps)
         sigmas = jnp.asarray(sigmas_np)
         timesteps = jnp.asarray(timesteps_np)
+
+        if (image_embeds is None and self.image_encoder_fn is not None
+                and self.dit_cfg.image_dim is not None):
+            image_embeds = self.image_encoder_fn(image)
 
         if not self.pipe_cfg.expand_timesteps:
             # Wan2.1 I2V path: mask+latent channel conditioning, scalar

@@ -132,7 +132,8 @@ def wan_fm_loss(dit_cfg: wan_dit.WanDiTConfig, cfg: TrainerConfig,
     pred = wan_dit.wan_dit_forward(
         dit_cfg, dit_params, model_in, timesteps,
         prompt_embeds.astype(cfg.compute_dtype),
-        attn_impl=cfg.attn_impl, differentiable=True, remat=cfg.remat)
+        attn_impl=cfg.attn_impl, differentiable=True, remat=cfg.remat,
+        mesh=mesh)
     pred = pred[:, :, :num_gen_frames]
 
     target = (noise - x0).astype(jnp.float32)

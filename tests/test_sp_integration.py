@@ -1,0 +1,104 @@
+"""Sequence parallelism integrated into the Wan DiT forward.
+
+VERDICT r1 item 2: ``sp_attention`` must be wired into the model (not a
+standalone op) and an sp>1 mesh must produce numerically equal results to
+the unsharded forward. Runs on the 8-device virtual CPU mesh (conftest).
+
+Reference counterpart: none — the reference is single-device SDPA
+(``architecture/transformer_wan.py:108-110``); SP is TPU headroom.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frameino_tpu.core.meshes import MeshConfig, make_mesh
+from frameino_tpu.models import wan_dit
+
+
+def _setup(seq_frames=4, hw=(8, 8)):
+    cfg = wan_dit.tiny_config(num_attention_heads=4, attention_head_dim=16,
+                              num_layers=2)
+    params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    B, F, H, W = 2, seq_frames, *hw
+    ks = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.normal(ks[0], (B, cfg.in_channels, F, H, W))
+    t = jnp.full((B,), 500.0)
+    text = jax.random.normal(ks[2], (B, 8, cfg.text_dim))
+    return cfg, params, (x, t, text)
+
+
+@pytest.mark.parametrize("mcfg", [
+    MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+    MeshConfig(dp=1, fsdp=2, tp=1, sp=4),
+    MeshConfig(dp=1, fsdp=1, tp=1, sp=8),
+])
+def test_sp_forward_matches_unsharded(mcfg):
+    cfg, params, args = _setup()
+    ref = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(cfg, p, *a))(
+        params, *args)
+
+    mesh = make_mesh(mcfg, devices=jax.devices()[:mcfg.size])
+    with mesh:
+        out = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(
+            cfg, p, *a, mesh=mesh))(params, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sp_forward_per_token_timesteps():
+    """Wan2.2 TI2V per-token timesteps under an sp mesh."""
+    cfg, params, (x, _, text) = _setup()
+    B = x.shape[0]
+    S = (x.shape[2] // 1) * (x.shape[3] // 2) * (x.shape[4] // 2)
+    t2d = jnp.tile(jnp.linspace(0.0, 900.0, S)[None], (B, 1))
+    ref = jax.jit(lambda p: wan_dit.wan_dit_forward(cfg, p, x, t2d, text))(
+        params)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    with mesh:
+        out = jax.jit(lambda p: wan_dit.wan_dit_forward(
+            cfg, p, x, t2d, text, mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sp_gradients_match_unsharded():
+    """Backward through the shard_map (all_gather → psum_scatter)."""
+    cfg, params, args = _setup()
+
+    def loss(p, mesh):
+        out = wan_dit.wan_dit_forward(cfg, p, *args, differentiable=True,
+                                      mesh=mesh)
+        return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, None)))(params)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    with mesh:
+        g_sp = jax.jit(jax.grad(lambda p: loss(p, mesh)))(params)
+
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_sp = jax.tree.leaves(g_sp)
+    for a, b in zip(flat_ref, flat_sp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_sp_falls_back_when_indivisible():
+    """Sequence not divisible by sp -> regular attention, same result."""
+    cfg, params, _ = _setup()
+    B = 2
+    # F=3, H=W=6 -> S = 3*3*3 = 27, not divisible by sp=2
+    x = jax.random.normal(jax.random.key(5), (B, cfg.in_channels, 3, 6, 6))
+    t = jnp.full((B,), 500.0)
+    text = jax.random.normal(jax.random.key(6), (B, 8, cfg.text_dim))
+    ref = wan_dit.wan_dit_forward(cfg, params, x, t, text)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    with mesh:
+        out = jax.jit(lambda p: wan_dit.wan_dit_forward(
+            cfg, p, x, t, text, mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
