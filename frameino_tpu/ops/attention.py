@@ -64,12 +64,20 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 _NEG_INF = -1e30
 
 
-def _flash_fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-                      m_ref, l_ref, acc_ref, *, scale: float, block_k: int):
+_LOG2E = 1.4426950408889634
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref,
+                      m_ref, l_ref, acc_ref, *,
+                      block_k: int, kv_len: int, masked: bool):
     """One (batch*head, q_block) cell iterating over k blocks (grid dim 2).
 
     Online softmax with fp32 running max / sum / accumulator in VMEM
-    scratch. The tail k block masks columns >= kv_len.
+    scratch, in the exp2 domain (softmax is shift-invariant; the
+    log2(e) * scale factor is folded into q by the caller — saves one
+    [bq, bk] multiply per tile and uses the cheaper exp2 transcendental).
+    The tail k block masks columns >= kv_len only when padding exists
+    (static ``masked``).
     """
     k_idx = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -80,23 +88,22 @@ def _flash_fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                     # [block_q, D]
+    q = q_ref[0]                     # [block_q, D] (pre-scaled)
     k = k_ref[0]                     # [block_k, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [block_q, block_k]
+        preferred_element_type=jnp.float32)           # [block_q, block_k]
 
-    # Mask the padded tail of the KV sequence (only the last block can
-    # contain padding; the branch-free form costs one fused select).
-    kv_len = kv_len_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + k_idx * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[...]              # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)          # [block_q, block_k] fp32
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)         # [block_q, block_k] fp32
     l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[...] = m_next
 
@@ -120,6 +127,8 @@ def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int):
     Skv = k.shape[2]
     sq_p = _round_up(Sq, block_q)
     skv_p = _round_up(Skv, block_k)
+    # fold softmax scale + log2(e) into q once (exp2-domain softmax)
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
     if sq_p != Sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
     if skv_p != Skv:
@@ -130,31 +139,28 @@ def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int):
     q = q.reshape(bh, sq_p, D)
     k = k.reshape(bh, skv_p, D)
     v = v.reshape(bh, skv_p, D)
-    kv_len = jnp.full((1,), Skv, jnp.int32)
 
     grid = (bh, sq_p // block_q, skv_p // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, scale=scale, block_k=block_k),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda b, i, j, *_: (b, i, 0)),
-                pl.BlockSpec((1, block_k, D), lambda b, i, j, *_: (b, j, 0)),
-                pl.BlockSpec((1, block_k, D), lambda b, i, j, *_: (b, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j, *_: (b, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, D), jnp.float32),
-            ],
-        ),
+        functools.partial(_flash_fwd_kernel, block_k=block_k, kv_len=Skv,
+                          masked=skv_p != Skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(kv_len, q, k, v)
+    )(q, k, v)
     out = out.reshape(B, H, sq_p, D)
     if sq_p != Sq:
         out = out[:, :, :Sq]
@@ -288,7 +294,11 @@ def sp_attention(q, k, v, mesh, scale: Optional[float] = None, *,
     """
     from jax.sharding import PartitionSpec as P
     try:
-        from jax import shard_map
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):           # new API spells it check_vma
+            kw["check_vma"] = kw.pop("check_rep")
+            return _sm(f, **kw)
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 

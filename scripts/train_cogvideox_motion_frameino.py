@@ -114,6 +114,8 @@ def main():
     max_text = int(config.get("max_text_seq_length", 226))
     max_steps = int(config.get("max_train_steps", 1000))
     ckpt_every = int(config.get("checkpointing_steps", 2000))
+    from frameino_tpu.core.metrics_logger import MetricsLogger
+    mlog = MetricsLogger(output_dir, also_print=False)
     t0 = time.time()
     step_count = int(state.step)
     while step_count < max_steps:
@@ -133,7 +135,10 @@ def main():
             state, m = step_fn(state, vae_params, batch, key)
             step_count = int(state.step)
             if step_count % 10 == 0 or args.smoke:
-                print(f"step {step_count} loss {float(m['loss']):.4f} "
+                loss = float(m["loss"])
+                mlog.log(step_count, {"loss": loss,
+                                      "lr": opt_cfg.learning_rate})
+                print(f"step {step_count} loss {loss:.4f} "
                       f"({time.time() - t0:.1f}s)")
             if step_count % ckpt_every == 0:
                 save_checkpoint(output_dir, step_count, state,
@@ -143,6 +148,7 @@ def main():
                 break
     save_checkpoint(output_dir, step_count, state,
                     total_limit=config.get("checkpoints_total_limit"))
+    mlog.close()
     print(f"done at step {step_count}")
 
 

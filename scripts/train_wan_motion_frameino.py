@@ -29,6 +29,11 @@ def parse_args():
     p.add_argument("--smoke", action="store_true",
                    help="tiny-model CPU smoke run (CI / no-weights mode)")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--stage1", action="store_true",
+                   help="motion-only recipe, no ID branch (counterpart of "
+                        "train_code/train_wan_motion.py)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steps 2-4 here")
     return p.parse_args()
 
 
@@ -81,6 +86,7 @@ def main():
         lr_warmup_steps=int(config.get("lr_warmup_steps", 100)),
         max_train_steps=int(config.get("max_train_steps", 1000)))
     tcfg = TrainerConfig(scheduler=sched_cfg, optimizer=opt_cfg,
+                         use_frame_in=not args.stage1,
                          compute_dtype=compute_dtype,
                          remat=bool(config.get("gradient_checkpointing",
                                                True)),
@@ -97,11 +103,16 @@ def main():
 
     # --- mesh / state --------------------------------------------------
     n_dev = jax.device_count()
-    mesh_cfg = MeshConfig(dp=n_dev, fsdp=1, tp=1, sp=1)
-    if n_dev % 4 == 0 and not args.smoke:
+    if config.get("mesh") and int(__import__("numpy").prod(
+            list(config["mesh"].values()))) == n_dev:
+        mesh_cfg = MeshConfig(**{k: int(v) for k, v in
+                                 config["mesh"].items()})
+    elif n_dev % 4 == 0 and not args.smoke:
         mesh_cfg = MeshConfig(dp=2, fsdp=n_dev // 2, tp=1, sp=1)
     elif args.smoke and n_dev % 8 == 0:
         mesh_cfg = MeshConfig(dp=2, fsdp=2, tp=2, sp=1)
+    else:
+        mesh_cfg = MeshConfig(dp=n_dev, fsdp=1, tp=1, sp=1)
     mesh = make_mesh(mesh_cfg)
     opt = make_optimizer(opt_cfg)
 
@@ -178,6 +189,9 @@ def main():
                 attn_impl="xla" if args.smoke else None)
             print(f"validation artifacts -> {out}")
 
+        from frameino_tpu.core.metrics_logger import (MetricsLogger,
+                                                       maybe_profile)
+        mlog = MetricsLogger(output_dir, also_print=False)
         t0 = time.time()
         step_count = int(state.step)
         if first_iter_val and val_dataset is not None and step_count == 0:
@@ -193,16 +207,23 @@ def main():
                         [i["first_frame_tensor"] for i in items]),
                     "traj_tensor": jnp.stack(
                         [i["traj_tensor"] for i in items]),
-                    "ID_tensor": jnp.stack(
+                    "ID_tensor": None if args.stage1 else jnp.stack(
                         [i["ID_tensor"] for i in items])[:, None],
                     "prompt_embeds": embed_prompts(
                         [i["text_prompt"] for i in items]),
                 }
-                state, metrics = step_fn(state, vae_params, batch, rng_key)
+                with maybe_profile(args.profile_dir
+                                   if step_count == 2 else None):
+                    state, metrics = step_fn(state, vae_params, batch,
+                                             rng_key)
                 step_count = int(state.step)
                 if step_count % log_every == 0 or args.smoke:
-                    print(f"step {step_count} loss {float(metrics['loss']):.4f} "
-                          f"grad_norm {float(metrics['grad_norm']):.3f} "
+                    loss = float(metrics["loss"])
+                    gn = float(metrics["grad_norm"])
+                    mlog.log(step_count, {"loss": loss, "grad_norm": gn,
+                                          "lr": opt_cfg.learning_rate})
+                    print(f"step {step_count} loss {loss:.4f} "
+                          f"grad_norm {gn:.3f} "
                           f"({time.time() - t0:.1f}s)")
                 if val_every and step_count % val_every == 0 and \
                         val_dataset is not None:
@@ -218,6 +239,7 @@ def main():
         save_checkpoint(output_dir, step_count, state,
                         metadata={"final": True},
                         total_limit=config.get("checkpoints_total_limit"))
+        mlog.close()
         print(f"done at step {step_count}")
 
 

@@ -65,12 +65,12 @@ def test_sp_attention_matches_global():
     from frameino_tpu.core.meshes import MeshConfig, make_mesh
     mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=1, sp=2))
     k1, k2, k3 = jax.random.split(jax.random.key(9), 3)
-    q = _rand(k1, (1, 2, 64, 16))
-    k = _rand(k2, (1, 2, 64, 16))
-    v = _rand(k3, (1, 2, 64, 16))
+    q = _rand(k1, (4, 2, 64, 16))
+    k = _rand(k2, (4, 2, 64, 16))
+    v = _rand(k3, (4, 2, 64, 16))
     ref = attn_ops.attention_xla(q, k, v)
     with mesh:
-        out = attn_ops.sp_attention(q, k, v, mesh, inner_impl="xla")
+        out = attn_ops.sp_attention(q, k, v, mesh, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 

@@ -125,3 +125,32 @@ class TestAdaLNMath:
         sh, sc = [m[:, :, 0] for m in jnp.split(modj, 6, axis=2)][:2]
         got = layer_norm(jnp.asarray(x), eps=1e-6) * (1 + sc) + sh
         np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_timestep_mask_two_level_equivalence():
+    """timestep_mask fast path == explicit per-token (mask * t) vector.
+
+    The Wan2.2 expand path's per-token timesteps take only two values
+    (reference pipeline_wan_i2v_motion_FrameINO.py:832-843); the
+    two-level select must match the general [B, S] path exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from frameino_tpu.models import wan_dit
+
+    cfg = wan_dit.tiny_config()
+    params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    B, F, H, W = 2, 3, 4, 4
+    S = F * (H // 2) * (W // 2)
+    x = jax.random.normal(jax.random.key(1), (B, cfg.in_channels, F, H, W))
+    text = jax.random.normal(jax.random.key(2), (B, 4, cfg.text_dim))
+    t = jnp.asarray([700.0, 300.0])
+    mask = (jax.random.uniform(jax.random.key(3), (B, S)) > 0.4
+            ).astype(jnp.float32)
+
+    ref = wan_dit.wan_dit_forward(cfg, params, x, mask * t[:, None], text)
+    fast = wan_dit.wan_dit_forward(cfg, params, x, t, text,
+                                   timestep_mask=mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
