@@ -106,15 +106,21 @@ def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
 def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
                  z: jax.Array,
                  tile_min: int = TILE_SAMPLE_MIN,
-                 tile_stride: int = TILE_SAMPLE_STRIDE) -> jax.Array:
+                 tile_stride: int = TILE_SAMPLE_STRIDE,
+                 decode_fn=None) -> jax.Array:
     """Overlapping-tile decode with pixel-space blending
-    (reference tiled_decode :1336-1397). z: [B, z, T, h, w]."""
+    (reference tiled_decode :1336-1397). z: [B, z, T, h, w].
+
+    ``decode_fn(z_tile) -> pixels`` overrides the per-tile decoder
+    (used by ``hybrid_decode`` to stream temporally inside each tile)."""
     sc = cfg.scale_factor_spatial
     h, w = z.shape[3], z.shape[4]
     lat_min = tile_min // sc
     lat_stride = tile_stride // sc
+    if decode_fn is None:
+        decode_fn = lambda t: wan_vae.decode(cfg, params, t, clamp=False)  # noqa: E731
     if h <= lat_min and w <= lat_min:
-        return wan_vae.decode(cfg, params, z)
+        return jnp.clip(decode_fn(z), -1.0, 1.0)
     blend = tile_min - tile_stride
 
     ys = _positions(h, lat_min, lat_stride)
@@ -124,7 +130,7 @@ def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
         row = []
         for j in xs:
             tile = z[:, :, :, i:i + lat_min, j:j + lat_min]
-            row.append(wan_vae.decode(cfg, params, tile, clamp=False))
+            row.append(decode_fn(tile))
         rows.append(row)
 
     result_rows = []
@@ -141,6 +147,32 @@ def tiled_decode(cfg: wan_vae.WanVAEConfig, params: Params,
         result_rows.append(jnp.concatenate(result_row, axis=-1))
     out = jnp.concatenate(result_rows, axis=-2)
     return jnp.clip(out[:, :, :, :h * sc, :w * sc], -1.0, 1.0)
+
+
+def hybrid_decode(cfg: wan_vae.WanVAEConfig, params: Params,
+                  z: jax.Array,
+                  tile_min: int = TILE_SAMPLE_MIN,
+                  tile_stride: int = TILE_SAMPLE_STRIDE,
+                  chunk_latent_frames: int = 2) -> jax.Array:
+    """Streaming x tiled decode: large spatial tiles (few, low overlap
+    redundancy) with temporally-chunked causal decoding inside each tile
+    so peak memory is one chunk of one tile.
+
+    Measured on v5e next to the resident 10GB 5B DiT (448x832x13lat):
+    full-sequence and full-spatial streaming OOM; 128/64 tiles (72
+    tiles, 3.2x overlap redundancy) take 26.3s; 256/192 tiles (8 tiles,
+    1.4x redundancy) only fit with in-tile streaming — this hybrid.
+    The reference offers tiling only (autoencoder_kl_wan.py:1336-1397);
+    its frame-by-frame decode is a separate mode (:1198-1227)."""
+    from frameino_tpu.models.wan_vae_streaming import streaming_decode
+
+    def decode_fn(tile):
+        return streaming_decode(cfg, params, tile,
+                                chunk_latent_frames=chunk_latent_frames,
+                                clamp=False)
+
+    return tiled_decode(cfg, params, z, tile_min=tile_min,
+                        tile_stride=tile_stride, decode_fn=decode_fn)
 
 
 def sliced_encode(cfg: wan_vae.WanVAEConfig, params: Params,

@@ -121,8 +121,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int):
+# Test hook: run the Pallas kernel in interpret mode on CPU so the
+# shard_map x pallas_call composition (sp/tp meshes) is exercisable
+# without TPU hardware (tests/test_sp_integration.py).
+FORCE_INTERPRET = False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k",
+                                    "interpret"))
+def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int,
+               interpret: bool = False):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     sq_p = _round_up(Sq, block_q)
@@ -160,6 +169,7 @@ def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
     out = out.reshape(B, H, sq_p, D)
     if sq_p != Sq:
@@ -177,7 +187,8 @@ def flash_attention_inference(q, k, v, scale: Optional[float] = None,
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(Skv, 128))
     return _flash_fwd(q, k, v, scale=float(scale),
-                      block_q=block_q, block_k=block_k)
+                      block_q=block_q, block_k=block_k,
+                      interpret=FORCE_INTERPRET)
 
 
 # ---------------------------------------------------------------------------

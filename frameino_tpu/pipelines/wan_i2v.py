@@ -478,6 +478,11 @@ class WanImageToVideoPipeline:
         elif decode_mode == "tiled":
             from frameino_tpu.models.wan_vae_tiling import tiled_decode
             video = tiled_decode(vae_cfg, self.vae_params, z)
+        elif decode_mode == "hybrid":
+            # large spatial tiles + in-tile temporal streaming: lowest
+            # overlap redundancy that fits next to the resident DiT
+            from frameino_tpu.models.wan_vae_tiling import hybrid_decode
+            video = hybrid_decode(vae_cfg, self.vae_params, z)
         else:
             video = wan_vae.decode(vae_cfg, self.vae_params, z)
         if output_type == "np":

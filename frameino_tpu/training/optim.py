@@ -62,6 +62,14 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         # memory-saving option (factored second moments instead of
         # quantized ones)
         opt = optax.adafactor(sched)
+    elif cfg.optimizer == "prodigy":
+        # parameter-free LR (reference get_optimizer's prodigy option,
+        # train_code/train_wan_motion_FrameINO.py:455-487); lr acts as
+        # the usual Prodigy multiplier (reference recommends 1.0)
+        opt = optax.contrib.prodigy(
+            learning_rate=cfg.learning_rate,
+            betas=(cfg.beta1, cfg.beta2), eps=cfg.epsilon,
+            weight_decay=cfg.weight_decay)
     else:
         raise ValueError(f"unsupported optimizer {cfg.optimizer}")
     opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--num_instances", type=int, default=None)
     p.add_argument("--backends", choices=["naive", "default"],
                    default="naive")
+    p.add_argument("--schema", choices=["new", "old"], default="new",
+                   help="CSV schema: 'old' = paper-v1.0 contract "
+                        "(video_dataset_motion_FrameINO_old.py)")
     return p.parse_args()
 
 
@@ -108,16 +111,42 @@ def main():
         # the config explicitly thins them
         eval_defaults.setdefault("point_keep_ratio_regular", 1.0)
         eval_defaults.setdefault("point_keep_ratio_ID", 1.0)
-        ds_cfg = FrameINODatasetConfig(**filter_kwargs(
-            FrameINODatasetConfig, eval_defaults))
-        dataset = FrameINODataset(
-            ds_cfg, config["download_folder_path"],
-            config["validation_csv_relative_path"],
-            config["validation_video_relative_path"],
-            config["validation_ID_relative_path"],
-            FrameOut_only=not is_frame_in,
-            one_point_one_obj=not is_frame_in,
-            strict_validation_match=True, seed=0)
+        if args.schema == "old":
+            from frameino_tpu.data import FrameINODatasetOld
+            root = config["download_folder_path"]
+            old_cfg = {
+                "dataset_folder_path": os.path.join(
+                    root, config["validation_video_relative_path"]),
+                "ID_folder_path": os.path.join(
+                    root, config["validation_ID_relative_path"]),
+                "height": eval_defaults.get("target_height", 480),
+                "width": eval_defaults.get("target_width", 720),
+                "preset_decode_fps": eval_defaults.get(
+                    "preset_decode_fps", 16),
+                "train_frame_num": (eval_defaults.get(
+                    "train_frame_num_range", [49, 49]))[0],
+                "dot_radius": eval_defaults.get("dot_radius", 6),
+                "point_keep_ratio_regular": eval_defaults[
+                    "point_keep_ratio_regular"],
+                "point_keep_ratio_ID": eval_defaults["point_keep_ratio_ID"],
+            }
+            dataset = FrameINODatasetOld(
+                old_cfg,
+                os.path.join(root, config["validation_csv_relative_path"]),
+                FrameOut_only=not is_frame_in,
+                one_point_one_obj=not is_frame_in,
+                strict_validation_match=True, seed=0)
+        else:
+            ds_cfg = FrameINODatasetConfig(**filter_kwargs(
+                FrameINODatasetConfig, eval_defaults))
+            dataset = FrameINODataset(
+                ds_cfg, config["download_folder_path"],
+                config["validation_csv_relative_path"],
+                config["validation_video_relative_path"],
+                config["validation_ID_relative_path"],
+                FrameOut_only=not is_frame_in,
+                one_point_one_obj=not is_frame_in,
+                strict_validation_match=True, seed=0)
 
         n = min(args.num_instances or len(dataset), len(dataset))
         steps = int(config.get("num_inference_steps", 50))
@@ -128,11 +157,13 @@ def main():
                                getattr(dit_cfg, "text_embed_dim", None))
             text = jnp.zeros((1, int(config.get("max_text_seq_length", 512)),
                               text_dim))
+            id_np = item.get("ID_tensor",
+                             item.get("main_reference_tensor"))
             video = pipe(
                 jnp.asarray(item["first_frame_tensor"])[None],
                 prompt_embeds=text,
                 traj_tensor=jnp.asarray(item["traj_tensor"]),
-                id_tensor=jnp.asarray(item["ID_tensor"])[None, :, None],
+                id_tensor=jnp.asarray(id_np)[None, :, None],
                 height=H, width=W, num_frames=F,
                 num_inference_steps=steps,
                 guidance_scale=float(config.get("guidance_scale", 5.0)),
@@ -143,7 +174,8 @@ def main():
             write_instance_artifacts(
                 args.output_dir, idx, item["video_gt_np"][:gen.shape[0]],
                 gen, item["processed_meta_data"], item["text_prompt"],
-                main_reference=item["ID_np"])
+                main_reference=item.get("ID_np",
+                                        item.get("main_reference_np")))
             print(f"instance {idx} written ({gen.shape})")
 
     metrics = FRAME_IN_METRICS if is_frame_in else FRAME_OUT_METRICS

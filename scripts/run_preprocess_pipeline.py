@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Dataset-curation pipeline: raw video folder -> training CSV + ID crops.
+
+Counterpart of the reference's 9-step preprocess chain
+(``preprocess/README.md:17-115``), composed end to end:
+
+  1. validity filter            (filter_basic.py)
+  2. shot-boundary scoring      (scoring_scene_cut_autoshot.py ->
+                                 histogram detector here)
+  3. image-quality scoring      (scoring_img.py -> classical IQA)
+  4. panoptic -> object points  (filter_panoptic_multi.py -> pluggable
+                                 model; connected-components baseline)
+  5. camera-motion pruning      (track_camera_pose_spatracker2.py ->
+                                 LK+RANSAC homography estimator)
+  6. captioning                 (caption_qwen_multi.py -> pluggable VLM;
+                                 template fallback)
+  7. point tracking             (track_regular_motion_cycle.py ->
+                                 pyramidal-LK forward/backward cycle)
+  8. FrameINO labeling          (track_FrameINO.py -> region-box search
+                                 + ID reference crops)
+
+Emits the new-schema training CSV (video_path, height, width,
+valid_duration, Panoptic_Segmentation, Structured_Text_Prompt,
+Track_Traj, Obj_Info, ID_info) that ``FrameINODataset`` loads directly.
+
+Usage:
+    python scripts/run_preprocess_pipeline.py \
+        --video_folder raw_videos/ --output_folder FrameINO_data/ \
+        [--min_frames 49] [--min_size 64]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _dumps(obj):
+    """json.dumps tolerating numpy scalars (box coords, areas)."""
+    return json.dumps(obj, default=lambda o: o.item())
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--video_folder", required=True)
+    p.add_argument("--output_folder", required=True)
+    p.add_argument("--csv_name", default="curated.csv")
+    p.add_argument("--min_frames", type=int, default=49)
+    p.add_argument("--min_size", type=int, default=64)
+    p.add_argument("--max_aspect", type=float, default=2.5)
+    p.add_argument("--cut_threshold", type=float, default=0.5)
+    p.add_argument("--min_clarity", type=float, default=5.0)
+    p.add_argument("--min_motion", type=float, default=2.0)
+    p.add_argument("--num_points", type=int, default=10)
+    p.add_argument("--keep_boxes", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def process_video(name, video_folder, id_out_folder, args):
+    from frameino_tpu.data.video_io import decode_video
+    from frameino_tpu.preprocess.basic_filter import filter_basic
+    from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
+    from frameino_tpu.preprocess.captioning import caption_step
+    from frameino_tpu.preprocess.frameino_labeling import (crop_id_reference,
+                                                           find_region_boxes,
+                                                           object_bbox)
+    from frameino_tpu.preprocess.image_scoring import score_images
+    from frameino_tpu.preprocess.lk_tracker import make_lk_tracker
+    from frameino_tpu.preprocess.motion_tracking import (motion_magnitude,
+                                                         track_step)
+    from frameino_tpu.preprocess.panoptic import (
+        connected_component_panoptic, run_panoptic_step)
+    from frameino_tpu.preprocess.scene_cut import (longest_clean_span,
+                                                   score_scene_cuts)
+
+    frames = decode_video(os.path.join(video_folder, name))
+    F, H, W = frames.shape[:3]
+
+    # 1. validity
+    kept, _ = filter_basic([{"height": H, "width": W, "num_frames": F}],
+                           min_frames=args.min_frames,
+                           min_height=args.min_size,
+                           min_width=args.min_size,
+                           max_aspect_ratio=args.max_aspect)
+    if not kept:
+        return None, "basic_filter"
+
+    # 2. shot boundaries -> valid_duration
+    scores = score_scene_cuts(frames)
+    v0, v1 = longest_clean_span(scores, args.cut_threshold)
+    if v1 - v0 < args.min_frames:
+        return None, "scene_cut"
+    clip = frames[v0:v1]
+
+    # 3. image quality on the first frame
+    iqa = score_images(clip[0])
+    if iqa["clarity"] < args.min_clarity:
+        return None, "image_scoring"
+
+    # 5. camera motion (before the expensive per-object tracking)
+    if not keep_by_camera_motion(clip):
+        return None, "camera_pose"
+
+    # 4. panoptic -> per-object first-frame points + masks
+    rng = np.random.default_rng(args.seed)
+    segments = connected_component_panoptic(clip[0])
+    obj_info_payload, seg_payload = run_panoptic_step(
+        clip, lambda f: segments, frame_idx=0,
+        num_points=args.num_points, rng=rng)
+    obj_info, seg_points = obj_info_payload[0], seg_payload[0]
+    if not obj_info:
+        return None, "panoptic"
+
+    # 6. caption
+    caption = caption_step(clip)
+
+    # 7. LK cycle tracking of the panoptic points
+    tracker = make_lk_tracker()
+    track_traj = track_step(clip, seg_points, tracker)
+    magnitudes = [motion_magnitude(np.asarray(t)) for t in track_traj]
+    if max(magnitudes) < args.min_motion:
+        return None, "motion_filter"
+
+    # 8. FrameINO labeling: main object = largest mask among movers
+    masks = {label: m for label, m in segments}
+    order = np.argsort([-int(masks[obj_info[i][0]].sum())
+                        if obj_info[i][0] in masks else 0
+                        for i in range(len(obj_info))])
+    id_info = [[] for _ in obj_info]
+    labeled = False
+    for oi in order:
+        label = obj_info[oi][0]
+        if magnitudes[oi] < args.min_motion or label not in masks:
+            continue
+        mask = masks[label].astype(np.uint8)
+        boxes = find_region_boxes(mask, keep_n=args.keep_boxes)
+        if not boxes:
+            continue
+        crop = crop_id_reference(clip[0], mask)
+        if crop is None or crop.size == 0:
+            continue
+        ref_name = f"{os.path.splitext(name)[0]}_{label}.png"
+        os.makedirs(id_out_folder, exist_ok=True)
+        import cv2
+        cv2.imwrite(os.path.join(id_out_folder, ref_name),
+                    cv2.cvtColor(crop, cv2.COLOR_RGB2BGR))
+        bbox = object_bbox(mask)
+        id_info[oi] = [[list(bbox), ref_name, []],
+                       [[int(b[0]), list(b[1]), list(b[2])]
+                        for b in boxes]]
+        labeled = True
+        break
+    if not labeled:
+        return None, "frameino_labeling"
+
+    # valid_duration is in FULL-video frame indices (the dataset crops
+    # the decoded video with it); tracks/points are relative to the
+    # cropped clip, matching the dataset's indexing contract.
+    row = [name, H, W, _dumps([v0, v1]),
+           _dumps([seg_points]),
+           _dumps([caption]),
+           _dumps([track_traj]),
+           _dumps([obj_info]),
+           _dumps([id_info])]
+    return row, None
+
+
+def main():
+    args = parse_args()
+    from frameino_tpu.preprocess.csv_io import write_csv
+    csv_folder = os.path.join(args.output_folder, "dataset_csv_files")
+    id_folder = os.path.join(args.output_folder, "video_dataset",
+                             "train_ID_FrameIn")
+    rows, dropped = [], {}
+    names = sorted(n for n in os.listdir(args.video_folder)
+                   if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
+    for name in names:
+        row, reason = process_video(name, args.video_folder, id_folder,
+                                    args)
+        if row is None:
+            dropped[name] = reason
+            print(f"drop {name}: {reason}")
+        else:
+            rows.append(row)
+            print(f"keep {name}")
+    os.makedirs(csv_folder, exist_ok=True)
+    write_csv(os.path.join(csv_folder, args.csv_name),
+              ["video_path", "height", "width", "valid_duration",
+               "Panoptic_Segmentation", "Structured_Text_Prompt",
+               "Track_Traj", "Obj_Info", "ID_info"], rows)
+    print(f"curated {len(rows)}/{len(names)} videos -> "
+          f"{os.path.join(csv_folder, args.csv_name)}")
+    if dropped:
+        print("drop reasons:", json.dumps(dropped))
+    return 0 if rows else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,5 +1,6 @@
 """CogVideoX trainer + channel surgery tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from frameino_tpu.training.optim import OptimizerConfig, make_optimizer
 from frameino_tpu.training.surgery import (cogvideox_stage1_surgery,
                                            wan_stage1_surgery)
 from frameino_tpu.training.trainer import init_train_state
+
+pytestmark = pytest.mark.slow
 
 VAE_CFG = cogvideox_vae.tiny_vae_config()
 DIT_CFG = cogvideox_dit.tiny_config()  # in 12 = 4 noisy + 4 image + 4 traj

@@ -10,6 +10,8 @@ import pytest
 from frameino_tpu.models import cogvideox_dit, cogvideox_vae
 from frameino_tpu.pipelines import cogvideox_i2v as P
 
+pytestmark = pytest.mark.slow
+
 VAE_CFG = cogvideox_vae.tiny_vae_config()
 # z=4: noisy 4 + image 4 + traj 4 = 12 input channels; out 4
 DIT_CFG = cogvideox_dit.tiny_config()

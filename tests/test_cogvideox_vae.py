@@ -8,6 +8,8 @@ import pytest
 
 from frameino_tpu.models import cogvideox_vae as M
 
+pytestmark = pytest.mark.slow
+
 CFG = M.tiny_vae_config()
 
 

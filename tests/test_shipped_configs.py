@@ -16,6 +16,8 @@ import yaml
 
 from tests.test_train_cli import smoke_env  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [

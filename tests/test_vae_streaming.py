@@ -8,6 +8,8 @@ import pytest
 from frameino_tpu.models import wan_vae
 from frameino_tpu.models import wan_vae_streaming as S
 
+pytestmark = pytest.mark.slow
+
 CFG21 = wan_vae.WanVAEConfig(
     base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
     temperal_downsample=(True,), is_residual=False,

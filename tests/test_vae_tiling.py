@@ -8,6 +8,8 @@ import pytest
 from frameino_tpu.models import wan_vae
 from frameino_tpu.models import wan_vae_tiling as T
 
+pytestmark = pytest.mark.slow
+
 CFG = wan_vae.WanVAEConfig(
     base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
     temperal_downsample=(True,), is_residual=False,
@@ -52,3 +54,15 @@ def test_sliced_batch(params):
     a = T.sliced_encode(CFG, params, video)
     b = wan_vae.encode_moments(CFG, params, video)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hybrid_decode_matches_tiled(params):
+    """Streaming x tiled hybrid == plain tiled decode bit-for-bit: the
+    in-tile temporal streaming is numerically exact (chunk-protocol
+    equivalence), so only the spatial tiling seams differ from full."""
+    z = jax.random.normal(jax.random.key(3), (1, 4, 5, 16, 24))
+    tiled = T.tiled_decode(CFG, params, z, tile_min=16, tile_stride=12)
+    hybrid = T.hybrid_decode(CFG, params, z, tile_min=16, tile_stride=12,
+                             chunk_latent_frames=2)
+    np.testing.assert_allclose(np.asarray(hybrid), np.asarray(tiled),
+                               atol=1e-5)

@@ -1,11 +1,14 @@
 """Wan2.1 (non-expand-timesteps) pipeline path + profiling utils."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from frameino_tpu.models import wan_dit, wan_vae
 from frameino_tpu.pipelines import wan_i2v as P
+
+pytestmark = pytest.mark.slow
 
 VAE_CFG = wan_vae.WanVAEConfig(
     base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,

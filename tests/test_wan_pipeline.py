@@ -11,6 +11,8 @@ from frameino_tpu.models import wan_dit, wan_vae
 from frameino_tpu.pipelines import wan_i2v as P
 from frameino_tpu.schedulers.flow_match_euler import FlowMatchEulerConfig
 
+pytestmark = pytest.mark.slow
+
 VAE_CFG = dataclasses.replace(
     wan_vae.WanVAEConfig(
         base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,

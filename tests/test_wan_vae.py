@@ -20,6 +20,8 @@ from frameino_tpu.core.tree import unmeta
 from frameino_tpu.models import wan_vae as M
 from frameino_tpu.ops import conv as cops
 
+pytestmark = pytest.mark.slow
+
 CACHE_T = 2
 
 
