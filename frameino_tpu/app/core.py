@@ -112,6 +112,48 @@ def crop_padding(video: np.ndarray, spec: CanvasSpec) -> np.ndarray:
                  spec.offset_x:spec.offset_x + spec.image_width]
 
 
+def visualize_trajectories(canvas: np.ndarray,
+                           polylines: Sequence[Sequence[Tuple[float, float]]],
+                           dot_radius: int = 5) -> np.ndarray:
+    """Realtime trajectory preview (reference ``fn_vis_realtime_traj``,
+    ``app.py:401-422``): per-object colored polylines with a filled dot
+    at every click and an arrowhead at the last segment."""
+    from frameino_tpu.data.traj import ALL_COLOR_CODES
+    out = canvas.copy()
+    for obj_idx, line in enumerate(polylines):
+        color = tuple(int(c) for c in
+                      ALL_COLOR_CODES[obj_idx % len(ALL_COLOR_CODES)])
+        pts = [(int(x), int(y)) for (x, y) in line]
+        for a, b in zip(pts[:-1], pts[1:]):
+            cv2.line(out, a, b, color, 2)
+        for p in pts:
+            cv2.circle(out, p, dot_radius, color, -1)
+        if len(pts) >= 2:
+            cv2.arrowedLine(out, pts[-2], pts[-1], color, 2,
+                            tipLength=0.5)
+    return out
+
+
+def segment_at_point(image: np.ndarray, segmenter: Callable,
+                     point: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """SAM-style point-prompt segmentation of the ID object (reference
+    ``app.py:634-660``: SAM prompted at the image center). ``segmenter``
+    may take (image, points) like the SAM predictors / evaluation
+    backends, or just (image); returns a [H, W] binary mask."""
+    h, w = image.shape[:2]
+    if point is None:
+        point = (w // 2, h // 2)
+    pts = np.asarray([point], np.float32)
+    try:
+        mask = segmenter(image, pts)
+    except TypeError:
+        mask = segmenter(image)
+    mask = np.asarray(mask)
+    if mask.ndim == 3:          # video-segmenter contract [T, H, W]
+        mask = mask[0]
+    return (mask > 0).astype(np.uint8)
+
+
 class InteractiveSession:
     """State machine mirroring the Gradio event flow: canvas -> click
     trajectories -> optional ID -> inference."""
@@ -151,7 +193,7 @@ class InteractiveSession:
         traj, _ = tracks_to_traj_tensor(self.polylines or [[(0.0, 0.0)]],
                                         self.num_frames, H, W)
         if id_image is not None and id_mask is None and self.segmenter:
-            id_mask = self.segmenter(id_image)
+            id_mask = segment_at_point(id_image, self.segmenter)
         id_np = prepare_id_reference(id_image, id_mask, H, W) \
             if id_image is not None else None
 

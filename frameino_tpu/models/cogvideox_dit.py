@@ -275,7 +275,7 @@ def _adaln_zero(p: Params, h, enc, temb, eps):
 
 
 def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
-                     attn_impl, differentiable):
+                     attn_impl, differentiable, mesh=None):
     """CogVideoXAttnProcessor2_0: joint [text; video] SDPA with RoPE on
     video tokens only."""
     L = enc.shape[1]
@@ -302,21 +302,23 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
         q = jnp.concatenate([q[:, :, :L], q_vid], axis=2)
         k = jnp.concatenate([k[:, :, :L], k_vid], axis=2)
 
-    o = attn_ops.attention(q, k, v, impl=attn_impl,
-                           differentiable=differentiable)
+    # joint [text; video] sequence: sequence-parallel over sp when the
+    # mesh is active and L+S_video divides (ops/attention.sp_supported)
+    o = attn_ops.dispatch_attention(q, k, v, mesh=mesh, impl=attn_impl,
+                                    differentiable=differentiable)
     o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
     o = dense(o, p["to_out"])
     return o[:, L:], o[:, :L]
 
 
 def _block_forward(cfg: CogVideoXConfig, p: Params, h, enc, temb, cos, sin,
-                   attn_impl, differentiable):
+                   attn_impl, differentiable, mesh=None):
     """CogVideoXBlock.forward (reference :122-161)."""
     L = enc.shape[1]
     nh_, ne_, gate, e_gate = _adaln_zero(p["norm1"], h, enc, temb,
                                          cfg.norm_eps)
     ah, ae = _joint_attention(cfg, p["attn1"], nh_, ne_, cos, sin,
-                              attn_impl, differentiable)
+                              attn_impl, differentiable, mesh)
     h = h + (gate * ah.astype(jnp.float32)).astype(h.dtype)
     enc = enc + (e_gate * ae.astype(jnp.float32)).astype(enc.dtype)
 
@@ -354,7 +356,8 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
                       *,
                       attn_impl: Optional[str] = None,
                       differentiable: bool = False,
-                      remat: bool = False) -> jax.Array:
+                      remat: bool = False,
+                      mesh=None) -> jax.Array:
     """CogVideoXTransformer3DModel.forward (reference :446-562).
 
     hidden_states: [B, F, C, H, W] (frame-first, like the reference).
@@ -383,7 +386,7 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
     def body(carry, layer_params):
         h, enc = carry
         h, enc = _block_forward(cfg, layer_params, h, enc, emb, cos, sin,
-                                attn_impl, differentiable)
+                                attn_impl, differentiable, mesh)
         return (h, enc), None
 
     if remat:

@@ -221,19 +221,10 @@ def _merge_heads(x):
 
 def _dispatch_attention(q, k, v, cfg, attn_impl, differentiable, mesh,
                         gather_kv):
-    """Single- or sequence-parallel attention on [B, H, S, D] heads.
-
-    When the active mesh has sp>1 and the shapes divide, the call runs as
-    an sp_attention shard_map (queries sharded along the sequence over the
-    sp axis; KV all-gathered over ICI for self-attention, replicated for
-    cross-attention to text). Falls back to plain attention otherwise.
-    """
-    if attn_ops.sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv):
-        return attn_ops.sp_attention(q, k, v, mesh, gather_kv=gather_kv,
-                                     impl=attn_impl,
-                                     differentiable=differentiable)
-    return attn_ops.attention(q, k, v, impl=attn_impl,
-                              differentiable=differentiable)
+    """See ops/attention.dispatch_attention (sp shard_map when active)."""
+    return attn_ops.dispatch_attention(q, k, v, mesh=mesh,
+                                       gather_kv=gather_kv, impl=attn_impl,
+                                       differentiable=differentiable)
 
 
 def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,

@@ -180,25 +180,35 @@ def _encoder_chunk(cfg, params, x, cache, idx):
 _MAX_CACHE = 512
 
 
-def _run_chunks(chunk_body, params, x, chunk_sizes):
-    """Drive jitted per-chunk programs with caches as pytree state.
+@functools.partial(jax.jit, static_argnames=("first", "cfg", "kind"))
+def _chunk_step(params, xc, caches, first, cfg, kind):
+    """One jitted chunk program. Module-level (NOT a per-call closure)
+    so the jit cache is shared across calls — critical for the
+    tiled x streaming hybrid decode, where 8+ tiles reuse the same 2-3
+    chunk programs instead of recompiling per tile (measured: per-tile
+    recompilation blew a 30-minute budget on the remote TPU compiler).
+    ``cfg`` (frozen dataclass) and ``kind`` are static."""
+    cache: List = list(caches) + [None] * (_MAX_CACHE - len(caches))
+    idx = [0]
+    if kind == "decoder":
+        out = _decoder_chunk(cfg, params, xc, cache, idx, first_chunk=first)
+    else:
+        out = _encoder_chunk(cfg, params, xc, cache, idx)
+    return out, tuple(cache[:idx[0]])
 
-    ``chunk_body(params, xc, cache_list, first)`` mutates the trace-time
-    cache list. Retracing happens automatically when cache shapes evolve
-    (first chunk -> partially filled -> steady state): 2-3 programs.
+
+def _run_chunks(cfg, kind, params, x, chunk_sizes):
+    """Drive the jitted per-chunk programs with caches as pytree state.
+
+    Retracing happens automatically when cache shapes evolve (first
+    chunk -> partially filled -> steady state): 2-3 programs total.
     """
-    @functools.partial(jax.jit, static_argnames=("first",))
-    def step(params, xc, caches, first):
-        cache: List = list(caches) + [None] * (_MAX_CACHE - len(caches))
-        idx = [0]
-        out = chunk_body(params, xc, cache, idx, first)
-        return out, tuple(cache[:idx[0]])
-
     outs = []
     caches: Tuple = ()
     pos = 0
     for ci, n in enumerate(chunk_sizes):
-        out, caches = step(params, x[:, pos:pos + n], caches, ci == 0)
+        out, caches = _chunk_step(params, x[:, pos:pos + n], caches,
+                                  ci == 0, cfg, kind)
         outs.append(out)
         pos += n
     return jnp.concatenate(outs, axis=1)
@@ -220,10 +230,7 @@ def streaming_decode(cfg: M.WanVAEConfig, params: Params, z: jax.Array,
     while sum(sizes) < T:
         sizes.append(min(chunk_latent_frames, T - sum(sizes)))
 
-    def body(p, xc, cache, idx, first):
-        return _decoder_chunk(cfg, p, xc, cache, idx, first_chunk=first)
-
-    out = _run_chunks(body, params["decoder"], x, sizes)
+    out = _run_chunks(cfg, "decoder", params["decoder"], x, sizes)
     if cfg.patch_size is not None:
         out = M.unpatchify(out, cfg.patch_size)
     out = M._to_cf(out)
@@ -243,9 +250,6 @@ def streaming_encode_moments(cfg: M.WanVAEConfig, params: Params,
     while sum(sizes) < T:
         sizes.append(min(chunk_pixel_frames, T - sum(sizes)))
 
-    def body(p, xc, cache, idx, first):
-        return _encoder_chunk(cfg, p, xc, cache, idx)
-
-    out = _run_chunks(body, params["encoder"], x, sizes)
+    out = _run_chunks(cfg, "encoder", params["encoder"], x, sizes)
     out = cops.causal_conv3d(out, **params["quant_conv"])
     return M._to_cf(out)

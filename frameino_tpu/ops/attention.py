@@ -263,6 +263,22 @@ def attention(q, k, v, scale: Optional[float] = None, *,
 # Sequence-parallel attention (sp axis): all-gather-KV shard_map
 # ---------------------------------------------------------------------------
 
+def dispatch_attention(q, k, v, *, mesh=None, gather_kv: bool = True,
+                       impl: Optional[str] = None,
+                       differentiable: bool = False):
+    """Single- or sequence-parallel attention on [B, H, S, D].
+
+    With an active mesh whose sp axis > 1 and divisible shapes, runs as
+    an sp_attention shard_map (queries sequence-sharded over sp; KV
+    all-gathered over ICI for self-attention, replicated for
+    cross-attention). Falls back to plain attention otherwise.
+    """
+    if sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv):
+        return sp_attention(q, k, v, mesh, gather_kv=gather_kv,
+                            impl=impl, differentiable=differentiable)
+    return attention(q, k, v, impl=impl, differentiable=differentiable)
+
+
 def sp_supported(mesh, q_shape, kv_len: int, *, axis: str = "sp",
                  batch_axes=("dp", "fsdp"), head_axis: str = "tp",
                  gather_kv: bool = True) -> bool:

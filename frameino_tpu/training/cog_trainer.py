@@ -94,7 +94,7 @@ def encode_training_batch(cfg: CogTrainerConfig,
 def cog_vpred_loss(dit_cfg: cogvideox_dit.CogVideoXConfig,
                    cfg: CogTrainerConfig, dit_params: Params,
                    video_latents, first_frame_latent, traj_latents,
-                   id_latent, prompt_embeds, key) -> jax.Array:
+                   id_latent, prompt_embeds, key, mesh=None) -> jax.Array:
     B, F, z, h, w = video_latents.shape
     ac = jnp.asarray(ddim_alphas_cumprod(cfg.scheduler), jnp.float32)
 
@@ -121,7 +121,7 @@ def cog_vpred_loss(dit_cfg: cogvideox_dit.CogVideoXConfig,
         dit_cfg, dit_params, model_in.astype(cfg.compute_dtype),
         prompt_embeds.astype(cfg.compute_dtype), t.astype(jnp.float32),
         image_rotary_emb=(cos, sin), attn_impl=cfg.attn_impl,
-        differentiable=True, remat=cfg.remat)
+        differentiable=True, remat=cfg.remat, mesh=mesh)
     pred = pred.astype(jnp.float32)[:, :F]
 
     # v-output -> x0 prediction (get_velocity(model_output, noisy, t))
@@ -138,7 +138,8 @@ def cog_vpred_loss(dit_cfg: cogvideox_dit.CogVideoXConfig,
 def make_cog_train_step(dit_cfg: cogvideox_dit.CogVideoXConfig,
                         vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
                         cfg: CogTrainerConfig,
-                        opt: optax.GradientTransformation):
+                        opt: optax.GradientTransformation,
+                        mesh=None):
     def step_fn(state: TrainState, vae_params: Params,
                 batch: Dict[str, jax.Array], key: jax.Array):
         key = jax.random.fold_in(key, state.step)
@@ -149,7 +150,8 @@ def make_cog_train_step(dit_cfg: cogvideox_dit.CogVideoXConfig,
         def loss_fn(params):
             return cog_vpred_loss(dit_cfg, cfg, params, video_latents,
                                   first_frame_latent, traj_latents,
-                                  id_latent, batch["prompt_embeds"], k_loss)
+                                  id_latent, batch["prompt_embeds"], k_loss,
+                                  mesh=mesh)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

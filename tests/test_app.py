@@ -95,3 +95,36 @@ class TestSession:
                        attn_impl="xla")
         assert out.shape == (9, 16, 16, 3)
         assert out.dtype == np.uint8
+
+
+def test_visualize_trajectories():
+    from frameino_tpu.app.core import visualize_trajectories
+    canvas = np.zeros((64, 96, 3), np.uint8)
+    out = visualize_trajectories(canvas, [[(10, 10), (40, 30)],
+                                          [(60, 50)]])
+    assert out.shape == canvas.shape
+    assert out.sum() > 0                       # something drawn
+    assert canvas.sum() == 0                   # input untouched
+    # two objects -> two distinct colors present
+    colors = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(colors) >= 3                    # bg + 2 object colors
+
+
+def test_segment_at_point_contracts():
+    from frameino_tpu.app.core import segment_at_point
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[8:24, 8:24] = 200
+
+    def sam_style(image, points):
+        x, y = int(points[0][0]), int(points[0][1])
+        ref = image[y, x].astype(np.float32)
+        return (np.abs(image.astype(np.float32) - ref).sum(-1) < 30)
+
+    mask = segment_at_point(img, sam_style)        # center prompt
+    assert mask[16, 16] == 1 and mask[0, 0] == 0
+
+    def single_arg(image):
+        return (image.sum(-1) > 100).astype(np.uint8)
+
+    mask2 = segment_at_point(img, single_arg)
+    assert mask2[16, 16] == 1

@@ -126,3 +126,30 @@ def test_sp_attention_with_pallas_kernel_interpret():
         attn_ops.FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sp_cogvideox_forward_matches_unsharded():
+    """CogVideoX joint [text; video] sequence under an sp>1 mesh equals
+    the unsharded forward (text length chosen so L+S divides sp)."""
+    from frameino_tpu.models import cogvideox_dit
+
+    cfg = cogvideox_dit.tiny_config(num_attention_heads=4,
+                                    max_text_seq_length=8)
+    params = cogvideox_dit.init_cogvideox_dit(jax.random.key(0), cfg)
+    B, F, H, W = 2, 3, 8, 8
+    x = jax.random.normal(jax.random.key(1), (B, F, cfg.in_channels, H, W))
+    text = jax.random.normal(jax.random.key(2),
+                             (B, 8, cfg.text_embed_dim))
+    t = jnp.asarray([500.0, 300.0])
+    cos, sin = cogvideox_dit.cogvideox_rope(cfg, F, H, W)
+    # joint S = 8 text + 3*4*4 video = 56 = 8*7 -> sp 2/4 divide
+    ref = cogvideox_dit.cogvideox_forward(cfg, params, x, text, t,
+                                          image_rotary_emb=(cos, sin))
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    with mesh:
+        out = jax.jit(lambda p: cogvideox_dit.cogvideox_forward(
+            cfg, p, x, text, t, image_rotary_emb=(cos, sin),
+            mesh=mesh))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
