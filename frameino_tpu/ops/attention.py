@@ -263,17 +263,27 @@ def attention(q, k, v, scale: Optional[float] = None, *,
 # Sequence-parallel attention (sp axis): all-gather-KV shard_map
 # ---------------------------------------------------------------------------
 
+# Sequence-parallel strategy: "allgather" (KV gathered once; best for
+# moderate S) or "ring" (KV shards rotate via ppermute with O(S/sp)
+# per-device KV memory; best for >32k-token sequences).
+DEFAULT_SP_METHOD = "allgather"
+
+
 def dispatch_attention(q, k, v, *, mesh=None, gather_kv: bool = True,
                        impl: Optional[str] = None,
-                       differentiable: bool = False):
+                       differentiable: bool = False,
+                       sp_method: Optional[str] = None):
     """Single- or sequence-parallel attention on [B, H, S, D].
 
     With an active mesh whose sp axis > 1 and divisible shapes, runs as
-    an sp_attention shard_map (queries sequence-sharded over sp; KV
-    all-gathered over ICI for self-attention, replicated for
-    cross-attention). Falls back to plain attention otherwise.
+    a sequence-parallel shard_map (all-gather-KV or ring per
+    ``sp_method``; cross-attention to replicated text never gathers).
+    Falls back to plain attention otherwise.
     """
     if sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv):
+        method = sp_method or DEFAULT_SP_METHOD
+        if method == "ring" and gather_kv:
+            return ring_attention(q, k, v, mesh)
         return sp_attention(q, k, v, mesh, gather_kv=gather_kv,
                             impl=impl, differentiable=differentiable)
     return attention(q, k, v, impl=impl, differentiable=differentiable)
@@ -348,3 +358,64 @@ def sp_attention(q, k, v, mesh, scale: Optional[float] = None, *,
     return shard_map(local, mesh=mesh,
                      in_specs=(spec_q, spec_kv, spec_kv), out_specs=spec_q,
                      check_rep=False)(q, k, v)
+
+
+def ring_attention(q, k, v, mesh, scale: Optional[float] = None, *,
+                   axis: str = "sp", batch_axes=("dp", "fsdp"),
+                   head_axis: str = "tp"):
+    """Ring sequence-parallel attention: KV shards rotate around the sp
+    ring via ``lax.ppermute`` while each device accumulates its query
+    shard's online softmax (log-sum-exp merge across ring steps).
+
+    vs ``sp_attention`` (all-gather-KV): per-device KV memory is
+    O(S/sp) instead of O(S), and each hop moves one shard instead of a
+    full gather — the right trade at >32k-token sequences (ROADMAP
+    headroom; the reference has no sequence parallelism at all,
+    SURVEY §5). Differentiable (scan + ppermute transpose).
+
+    q/k/v: [B, H, S, D] GLOBAL arrays; same divisibility constraints as
+    ``sp_attention`` with gather_kv=True.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep")
+            return _sm(f, **kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    scale = scale if scale is not None else _default_scale(q.shape[-1])
+    spec = P(batch_axes, head_axis, axis, None)
+    sp = mesh.shape.get(axis, 1)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def local(ql, kl, vl):
+        qf = ql.astype(jnp.float32) * scale
+        B, H, Sq, D = qf.shape
+
+        def step(carry, _):
+            m, l, acc, k_cur, v_cur = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf,
+                           k_cur.astype(jnp.float32))
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = alpha * acc + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32))
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            return (m_new, l, acc, k_nxt, v_nxt), None
+
+        init = (jnp.full((B, H, Sq, 1), _NEG_INF, jnp.float32),
+                jnp.zeros((B, H, Sq, 1), jnp.float32),
+                jnp.zeros((B, H, Sq, D), jnp.float32),
+                kl, vl)
+        (m, l, acc, _, _), _ = jax.lax.scan(step, init, None, length=sp)
+        return (acc / l).astype(ql.dtype)
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)

@@ -87,3 +87,43 @@ def test_flash_train_fwd_matches_xla_interpret():
         out = attn_ops.flash_attention_train(q, k, v, block_multiple=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_ring_attention_matches_global():
+    """KV rotation via ppermute + online LSE merge == global attention."""
+    from frameino_tpu.core.meshes import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
+    q = _rand(k1, (2, 4, 64, 16))
+    k = _rand(k2, (2, 4, 64, 16))
+    v = _rand(k3, (2, 4, 64, 16))
+    ref = attn_ops.attention_xla(q, k, v)
+    with mesh:
+        out = jax.jit(lambda q, k, v: attn_ops.ring_attention(
+            q, k, v, mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_grads_match():
+    from frameino_tpu.core.meshes import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, sp=4),
+                     devices=jax.devices()[:4])
+    k1, k2, k3 = jax.random.split(jax.random.key(14), 3)
+    q = _rand(k1, (1, 2, 32, 8))
+    k = _rand(k2, (1, 2, 32, 8))
+    v = _rand(k3, (1, 2, 32, 8))
+
+    def loss_ref(qkv):
+        return jnp.mean(jnp.square(attn_ops.attention_xla(*qkv)))
+
+    def loss_ring(qkv):
+        return jnp.mean(jnp.square(attn_ops.ring_attention(*qkv, mesh)))
+
+    g_ref = jax.grad(loss_ref)((q, k, v))
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss_ring))((q, k, v))
+    for a, b in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

@@ -153,3 +153,24 @@ def test_sp_cogvideox_forward_matches_unsharded():
             mesh=mesh))(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sp_ring_method_in_dit_forward():
+    """Full Wan DiT forward with the ring sp method == unsharded."""
+    from frameino_tpu.ops import attention as attn_ops
+
+    cfg, params, args = _setup()
+    ref = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(cfg, p, *a))(
+        params, *args)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2),
+                     devices=jax.devices()[:8])
+    prev = attn_ops.DEFAULT_SP_METHOD
+    attn_ops.DEFAULT_SP_METHOD = "ring"
+    try:
+        with mesh:
+            out = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(
+                cfg, p, *a, mesh=mesh))(params, *args)
+    finally:
+        attn_ops.DEFAULT_SP_METHOD = prev
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
