@@ -92,8 +92,16 @@ def naive_judge(frames: np.ndarray, prompt: str,
     return "Yes" if changed else "No"
 
 
+def lk_tracker(frames: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Pyramidal-LK cycle-consistent tracker (shared with preprocess
+    step 7) — a real optical-flow tracker, the offline default for the
+    INO_Traj metric (better than greedy patch matching)."""
+    from frameino_tpu.preprocess.lk_tracker import make_lk_tracker
+    return make_lk_tracker()(frames, queries)
+
+
 def naive_backends() -> Dict[str, Callable]:
-    return {"tracker": naive_tracker, "segmenter": naive_segmenter,
+    return {"tracker": lk_tracker, "segmenter": naive_segmenter,
             "embedder": naive_embedder, "judge": naive_judge}
 
 

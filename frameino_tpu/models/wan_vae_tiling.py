@@ -66,12 +66,18 @@ def _blend_h(a: jax.Array, b: jax.Array, extent: int) -> jax.Array:
 def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
                  video: jax.Array,
                  tile_min: int = TILE_SAMPLE_MIN,
-                 tile_stride: int = TILE_SAMPLE_STRIDE) -> jax.Array:
+                 tile_stride: int = TILE_SAMPLE_STRIDE,
+                 encode_fn=None) -> jax.Array:
     """Overlapping-tile encode with latent-space blending
-    (reference tiled_encode :1270-1334). video: [B, C, T, H, W]."""
+    (reference tiled_encode :1270-1334). video: [B, C, T, H, W].
+
+    ``encode_fn(video_tile) -> moments`` overrides the per-tile encoder
+    (used by ``hybrid_encode`` to stream temporally inside each tile)."""
     H, W = video.shape[3], video.shape[4]
+    if encode_fn is None:
+        encode_fn = lambda t: wan_vae.encode_moments(cfg, params, t)  # noqa: E731
     if H <= tile_min and W <= tile_min:
-        return wan_vae.encode_moments(cfg, params, video)
+        return encode_fn(video)
     sc = cfg.scale_factor_spatial
     lat_stride = tile_stride // sc
     blend = tile_min // sc - lat_stride
@@ -83,7 +89,7 @@ def tiled_encode(cfg: wan_vae.WanVAEConfig, params: Params,
         row = []
         for j in xs:
             tile = video[:, :, :, i:i + tile_min, j:j + tile_min]
-            row.append(wan_vae.encode_moments(cfg, params, tile))
+            row.append(encode_fn(tile))
         rows.append(row)
 
     result_rows = []
@@ -173,6 +179,24 @@ def hybrid_decode(cfg: wan_vae.WanVAEConfig, params: Params,
 
     return tiled_decode(cfg, params, z, tile_min=tile_min,
                         tile_stride=tile_stride, decode_fn=decode_fn)
+
+
+def hybrid_encode(cfg: wan_vae.WanVAEConfig, params: Params,
+                  video: jax.Array,
+                  tile_min: int = TILE_SAMPLE_MIN,
+                  tile_stride: int = TILE_SAMPLE_STRIDE,
+                  chunk_pixel_frames: int = 16) -> jax.Array:
+    """Streaming x tiled encode (dual of ``hybrid_decode``): spatial
+    tiles with temporally-chunked causal encoding inside each tile."""
+    from frameino_tpu.models.wan_vae_streaming import \
+        streaming_encode_moments
+
+    def encode_fn(tile):
+        return streaming_encode_moments(
+            cfg, params, tile, chunk_pixel_frames=chunk_pixel_frames)
+
+    return tiled_encode(cfg, params, video, tile_min=tile_min,
+                        tile_stride=tile_stride, encode_fn=encode_fn)
 
 
 def sliced_encode(cfg: wan_vae.WanVAEConfig, params: Params,

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from frameino_tpu.models import wan_dit, wan_vae
-from frameino_tpu.models.wan_vae_tiling import tiled_decode, tiled_encode
+from frameino_tpu.models.wan_vae_tiling import (hybrid_decode,
+                                                tiled_encode)
 from frameino_tpu.pipelines import wan_i2v as P
 
 # 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
@@ -87,16 +88,17 @@ def main():
     # :916); fp32 decode activations would double HBM next to the DiT
     z = wan_vae.denormalize_latents(vae_cfg, lat).astype(jnp.bfloat16)
     # Decode-mode survey on this chip (resident 10GB DiT):
-    #   full-sequence: OOM; streaming 1-frame chunks: fits, 58.0s;
-    #   128/64 spatial tiles: fits, 26.3s  <- fastest that fits
+    #   full-sequence: OOM; streaming 1-frame chunks: 58.0s;
+    #   128/64 spatial tiles (72 tiles, 3.2x overlap): 26.3s;
+    #   hybrid 256/192 tiles x 2-latent-frame streaming: 4.1s  <- r2
     t0 = time.time()
-    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
-                         tile_stride=64)
+    video = hybrid_decode(vae_cfg, vae_params, z, tile_min=256,
+                          tile_stride=192, chunk_latent_frames=2)
     float(video[0, 0, 0, 0, 0])
     decode_first = time.time() - t0
     t0 = time.time()
-    video = tiled_decode(vae_cfg, vae_params, z, tile_min=128,
-                         tile_stride=64)
+    video = hybrid_decode(vae_cfg, vae_params, z, tile_min=256,
+                          tile_stride=192, chunk_latent_frames=2)
     float(video[0, 0, 0, 0, 0])
     decode_s = time.time() - t0
 
@@ -104,7 +106,7 @@ def main():
     print(json.dumps({
         "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip",
         "value": round(total, 2),
-        "unit": "seconds (VAE encodes + 50-step CFG denoise + tiled decode)",
+        "unit": "seconds (VAE encodes + 50-step CFG denoise + hybrid decode)",
         "denoise_s": round(denoise_s, 2),
         "decode_s": round(decode_s, 2),
     }))

@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--schema", choices=["new", "old"], default="new",
                    help="CSV schema: 'old' = paper-v1.0 contract "
                         "(video_dataset_motion_FrameINO_old.py)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 w8a8 serving config for the DiT (v5e 2x "
+                        "MXU throughput; models/quant.py)")
     return p.parse_args()
 
 
@@ -71,7 +74,8 @@ def build_pipeline(args, config):
             from frameino_tpu.models.weights import load_wan_vae_weights
             vae_params = load_wan_vae_weights(vp, vae_cfg)
         return WanImageToVideoPipeline(dit_cfg, dit_params, vae_cfg,
-                                       vae_params), dit_cfg
+                                       vae_params,
+                                       quantize=args.quantize), dit_cfg
     else:
         from frameino_tpu.models import cogvideox_dit, cogvideox_vae
         from frameino_tpu.pipelines.cogvideox_i2v import (

@@ -196,22 +196,30 @@ def main():
         step_count = int(state.step)
         if first_iter_val and val_dataset is not None and step_count == 0:
             run_validation(0)
+        from frameino_tpu.data.prefetch import BatchPrefetcher
+
+        def make_batch(batch_idx):
+            # runs on prefetch threads (ffmpeg/cv2/numpy release the GIL)
+            items = [dataset[i] for i in batch_idx]
+            import numpy as _np
+            return {
+                "video_tensor": _np.stack(
+                    [i["video_tensor"] for i in items]),
+                "first_frame_tensor": _np.stack(
+                    [i["first_frame_tensor"] for i in items]),
+                "traj_tensor": _np.stack(
+                    [i["traj_tensor"] for i in items]),
+                "ID_tensor": None if args.stage1 else _np.stack(
+                    [i["ID_tensor"] for i in items])[:, None],
+                "prompt_embeds": embed_prompts(
+                    [i["text_prompt"] for i in items]),
+            }
+
+        num_workers = int(config.get("dataloader_num_workers", 2))
         while step_count < max_steps:
             sampler.set_epoch(step_count)
-            for batch_idx in sampler:
-                items = [dataset[i] for i in batch_idx]
-                batch = {
-                    "video_tensor": jnp.stack(
-                        [i["video_tensor"] for i in items]),
-                    "first_frame_tensor": jnp.stack(
-                        [i["first_frame_tensor"] for i in items]),
-                    "traj_tensor": jnp.stack(
-                        [i["traj_tensor"] for i in items]),
-                    "ID_tensor": None if args.stage1 else jnp.stack(
-                        [i["ID_tensor"] for i in items])[:, None],
-                    "prompt_embeds": embed_prompts(
-                        [i["text_prompt"] for i in items]),
-                }
+            for batch in BatchPrefetcher(make_batch, sampler,
+                                         num_workers=num_workers):
                 with maybe_profile(args.profile_dir
                                    if step_count == 2 else None):
                     state, metrics = step_fn(state, vae_params, batch,

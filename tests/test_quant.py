@@ -50,3 +50,40 @@ def test_quant_preserves_sensitive_params():
     assert "kernel" not in qparams["blocks"]["ffn"]["fc1"]
     # stacked layer axis preserved on quantized kernels
     assert qparams["blocks"]["ffn"]["fc1"]["kernel_q"].shape[0] == cfg.num_layers
+
+
+def test_quantized_cog_forward_close():
+    from frameino_tpu.models import cogvideox_dit
+    cfg = cogvideox_dit.tiny_config()
+    params = cogvideox_dit.init_cogvideox_dit(jax.random.key(0), cfg)
+    qparams = quantize_dit_int8(params)
+    B, F, H, W = 1, 3, 8, 8
+    x = jax.random.normal(jax.random.key(1), (B, F, cfg.in_channels, H, W))
+    text = jax.random.normal(jax.random.key(2), (B, 8, cfg.text_embed_dim))
+    t = jnp.asarray([500.0])
+    cos, sin = cogvideox_dit.cogvideox_rope(cfg, F, H, W)
+    ref = np.asarray(cogvideox_dit.cogvideox_forward(
+        cfg, params, x, text, t, image_rotary_emb=(cos, sin)))
+    got = np.asarray(cogvideox_dit.cogvideox_forward(
+        cfg, qparams, x, text, t, image_rotary_emb=(cos, sin)))
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.05, rel
+
+
+def test_pipeline_quantize_option():
+    """WanImageToVideoPipeline(quantize='int8') quantizes both experts'
+    block matmuls at construction."""
+    from frameino_tpu.models import wan_vae
+    from frameino_tpu.pipelines.wan_i2v import (WanImageToVideoPipeline,
+                                                WanPipelineConfig)
+    cfg = wan_dit.tiny_config(in_channels=8, out_channels=4)
+    vae_cfg = wan_vae.WanVAEConfig(
+        base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,), is_residual=False,
+        scale_factor_temporal=2, scale_factor_spatial=2,
+        latents_mean=(0.0,) * 4, latents_std=(1.0,) * 4)
+    dit_params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    vae_params = wan_vae.init_wan_vae(jax.random.key(1), vae_cfg)
+    pipe = WanImageToVideoPipeline(cfg, dit_params, vae_cfg, vae_params,
+                                   WanPipelineConfig(), quantize="int8")
+    assert "kernel_q" in pipe.dit_params["blocks"]["ffn"]["fc1"]

@@ -66,3 +66,13 @@ def test_hybrid_decode_matches_tiled(params):
                              chunk_latent_frames=2)
     np.testing.assert_allclose(np.asarray(hybrid), np.asarray(tiled),
                                atol=1e-5)
+
+
+def test_hybrid_encode_matches_tiled(params):
+    video = jnp.tanh(jax.random.normal(jax.random.key(4),
+                                       (1, 3, 5, 32, 48)))
+    tiled = T.tiled_encode(CFG, params, video, tile_min=16, tile_stride=12)
+    hybrid = T.hybrid_encode(CFG, params, video, tile_min=16,
+                             tile_stride=12, chunk_pixel_frames=4)
+    np.testing.assert_allclose(np.asarray(hybrid), np.asarray(tiled),
+                               atol=1e-5)
