@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from frameino_tpu.models import wan_dit, wan_vae
 from frameino_tpu.models.wan_vae_tiling import (hybrid_decode,
-                                                tiled_encode)
+                                                hybrid_encode)
 from frameino_tpu.pipelines import wan_i2v as P
 
 # 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
@@ -36,10 +36,14 @@ def zeros_like_tree(shapes):
 
 
 def main():
+    int8 = "--int8" in sys.argv
     dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
     vae_cfg = wan_vae.WAN22_VAE_CONFIG
     dit_params = zeros_like_tree(jax.eval_shape(
         lambda k: wan_dit.init_wan_dit(k, dit_cfg), jax.random.key(0)))
+    if int8:
+        from frameino_tpu.models.quant import quantize_dit_int8
+        dit_params = jax.jit(quantize_dit_int8)(dit_params)
     vae_params = zeros_like_tree(jax.eval_shape(
         lambda k: wan_vae.init_wan_vae(k, vae_cfg), jax.random.key(0)))
 
@@ -50,9 +54,10 @@ def main():
     text = jnp.zeros((1, 512, dit_cfg.text_dim), jnp.bfloat16)
 
     def enc(v):
-        # tiled encode bounds memory next to the resident 10GB DiT
-        moments = tiled_encode(vae_cfg, vae_params, v, tile_min=256,
-                               tile_stride=192)
+        # hybrid (tiled x streaming) encode bounds memory next to the
+        # resident 10GB DiT; measured 1.4s vs 5.0s tiled for the 49f clip
+        moments = hybrid_encode(vae_cfg, vae_params, v, tile_min=256,
+                                tile_stride=192, chunk_pixel_frames=16)
         mean = moments[:, :vae_cfg.z_dim]
         return wan_vae.normalize_latents(vae_cfg, mean)
 
@@ -104,7 +109,8 @@ def main():
 
     total = denoise_s + decode_s
     print(json.dumps({
-        "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip",
+        "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip"
+                  + ("_int8" if int8 else ""),
         "value": round(total, 2),
         "unit": "seconds (VAE encodes + 50-step CFG denoise + hybrid decode)",
         "denoise_s": round(denoise_s, 2),

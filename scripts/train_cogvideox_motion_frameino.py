@@ -118,20 +118,27 @@ def main():
     mlog = MetricsLogger(output_dir, also_print=False)
     t0 = time.time()
     step_count = int(state.step)
+    from frameino_tpu.data.prefetch import BatchPrefetcher
+    import numpy as _np
+
+    def make_batch(batch_idx):
+        items = [dataset[i] for i in batch_idx]
+        return {
+            "video_tensor": _np.stack([i["video_tensor"] for i in items]),
+            "first_frame_tensor": _np.stack(
+                [i["first_frame_tensor"] for i in items]),
+            "traj_tensor": _np.stack([i["traj_tensor"] for i in items]),
+            "ID_tensor": None if args.stage1 else _np.stack(
+                [i["ID_tensor"] for i in items]),
+            "prompt_embeds": _np.zeros(
+                (len(items), max_text, dit_cfg.text_embed_dim), _np.float32),
+        }
+
+    num_workers = int(config.get("dataloader_num_workers", 2))
     while step_count < max_steps:
         sampler.set_epoch(step_count)
-        for batch_idx in sampler:
-            items = [dataset[i] for i in batch_idx]
-            batch = {
-                "video_tensor": jnp.stack([i["video_tensor"] for i in items]),
-                "first_frame_tensor": jnp.stack(
-                    [i["first_frame_tensor"] for i in items]),
-                "traj_tensor": jnp.stack([i["traj_tensor"] for i in items]),
-                "ID_tensor": None if args.stage1 else jnp.stack(
-                    [i["ID_tensor"] for i in items]),
-                "prompt_embeds": jnp.zeros(
-                    (len(items), max_text, dit_cfg.text_embed_dim)),
-            }
+        for batch in BatchPrefetcher(make_batch, sampler,
+                                     num_workers=num_workers):
             state, m = step_fn(state, vae_params, batch, key)
             step_count = int(state.step)
             if step_count % 10 == 0 or args.smoke:
