@@ -297,10 +297,18 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
     k = qk_head_norm(k, p.get("norm_k"))
 
     if cos is not None:
-        q_vid = apply_rope_interleaved(q[:, :, L:], cos, sin)
-        k_vid = apply_rope_interleaved(k[:, :, L:], cos, sin)
-        q = jnp.concatenate([q[:, :, :L], q_vid], axis=2)
-        k = jnp.concatenate([k[:, :, :L], k_vid], axis=2)
+        # RoPE applies to VIDEO tokens only (reference
+        # attention_processor.py:2854-2860). Instead of slicing the
+        # video span and re-concatenating (4 materialized [B,H,S,D]
+        # copies per layer), pad the tables with the identity rotation
+        # (cos=1, sin=0) over the text prefix and rotate the whole
+        # joint sequence — identical math, no copies.
+        cos_j = jnp.concatenate(
+            [jnp.ones((L, cos.shape[-1]), cos.dtype), cos], axis=0)
+        sin_j = jnp.concatenate(
+            [jnp.zeros((L, sin.shape[-1]), sin.dtype), sin], axis=0)
+        q = apply_rope_interleaved(q, cos_j, sin_j)
+        k = apply_rope_interleaved(k, cos_j, sin_j)
 
     # joint [text; video] sequence: sequence-parallel over sp when the
     # mesh is active and L+S_video divides (ops/attention.sp_supported)

@@ -163,7 +163,14 @@ class CogVideoXImageToVideoPipeline:
                  vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
                  vae_params: Params,
                  pipe_cfg: CogPipelineConfig = CogPipelineConfig(),
-                 text_encoder_fn=None):
+                 text_encoder_fn=None,
+                 quantize: Optional[str] = None):
+        if quantize == "int8":
+            # w8a8 serving config (models/quant.py; v5e 2x MXU)
+            from frameino_tpu.models.quant import quantize_dit_int8
+            dit_params = quantize_dit_int8(dit_params)
+        elif quantize is not None:
+            raise ValueError(f"unsupported quantize={quantize!r}")
         self.dit_cfg = dit_cfg
         self.dit_params = dit_params
         self.vae_cfg = vae_cfg

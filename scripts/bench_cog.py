@@ -39,7 +39,9 @@ def main():
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
     if int8:
         from frameino_tpu.models.quant import quantize_dit_int8
-        params = jax.jit(quantize_dit_int8)(params)
+        # donate: the bf16 originals free as quantization runs
+        params = jax.jit(quantize_dit_int8,
+                         donate_argnums=(0,))(params)
 
     F = F_LAT + N_ID
     x = jnp.zeros((B, F, cfg.in_channels, H_LAT, W_LAT), jnp.bfloat16)
