@@ -72,5 +72,10 @@ class BatchPrefetcher:
             finally:
                 with lock:
                     next_idx["i"] = len(self.batches)
+                # wake any workers parked in sem.acquire so they observe
+                # the exhausted index and exit (an early consumer break
+                # would otherwise strand them for the process lifetime)
+                for _ in range(self.num_workers):
+                    sem.release()
 
         return gen()

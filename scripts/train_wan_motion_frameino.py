@@ -148,13 +148,23 @@ def main():
                 f"dataset of {len(dataset)} samples yields no batches at "
                 f"global batch size {batch_size} (dp={mesh_cfg.dp})")
 
-        # text embeddings: precomputed per prompt (UMT5 weights load via
-        # models.weights when available; zeros otherwise)
+        # text embeddings: a precomputed PromptEmbeddingCache (see
+        # scripts/precompute_prompt_embeddings.py) when configured —
+        # zero text-encoder cost per step, unlike the reference's
+        # per-step UMT5 forward — else zeros (smoke runs)
         text_dim = dit_cfg.text_dim
         max_text = int(config.get("max_text_seq_length", 512))
+        cache_dir = config.get("prompt_embeds_cache")
+        if cache_dir and os.path.isdir(str(cache_dir)):
+            from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
+            _pcache = PromptEmbeddingCache(str(cache_dir), max_text,
+                                           text_dim)
 
-        def embed_prompts(prompts):
-            return jnp.zeros((len(prompts), max_text, text_dim))
+            def embed_prompts(prompts):
+                return jnp.asarray(_pcache.batch(prompts))
+        else:
+            def embed_prompts(prompts):
+                return jnp.zeros((len(prompts), max_text, text_dim))
 
         max_steps = int(config.get("max_train_steps", 1000))
         ckpt_every = int(config.get("checkpointing_steps", 2000))

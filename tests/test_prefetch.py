@@ -44,3 +44,20 @@ def test_overlaps_work():
     elapsed = time.time() - t0
     assert out == list(range(8))
     assert elapsed < 0.05 * 8  # parallel speedup observed
+
+
+def test_early_break_releases_workers():
+    import threading
+    before = threading.active_count()
+
+    def make(idxs):
+        time.sleep(0.02)
+        return idxs[0]
+
+    for _ in range(5):                     # repeated early breaks
+        for x in BatchPrefetcher(make, [[i] for i in range(10)],
+                                 num_workers=3, depth=2):
+            break
+    time.sleep(0.5)
+    after = threading.active_count()
+    assert after - before <= 3, (before, after)

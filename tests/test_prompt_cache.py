@@ -1,0 +1,81 @@
+"""Prompt-embedding cache + precompute CLI (tiny UMT5 checkpoint)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cache_roundtrip(tmp_path):
+    from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
+    c = PromptEmbeddingCache(str(tmp_path), max_text_len=8, text_dim=4,
+                             create=True)
+    emb = np.random.default_rng(0).standard_normal((5, 4)).astype(np.float32)
+    c.put("a cat walks", emb)
+    got = c.get("a cat walks")
+    assert got.shape == (8, 4)                       # zero-padded
+    np.testing.assert_allclose(got[:5], emb)
+    assert got[5:].sum() == 0
+    # reopen -> index persisted
+    c2 = PromptEmbeddingCache(str(tmp_path), 8, 4)
+    assert len(c2) == 1
+    # miss -> zeros + counter
+    miss = c2.get("unknown prompt")
+    assert miss.sum() == 0 and c2.misses == 1
+    b = c2.batch(["a cat walks", "unknown prompt"])
+    assert b.shape == (2, 8, 4)
+
+
+@pytest.mark.slow
+def test_precompute_cli_with_tiny_umt5(tmp_path):
+    """Tiny UMT5 checkpoint dir (config+safetensors+tokenizer) ->
+    precompute CLI -> cache entries match direct encoding."""
+    import torch
+    from transformers import AutoTokenizer, UMT5Config, UMT5EncoderModel
+
+    ckpt = tmp_path / "umt5"
+    torch.manual_seed(0)
+    hf_cfg = UMT5Config(vocab_size=256, d_model=16, d_kv=4, num_heads=2,
+                        d_ff=32, num_layers=2, feed_forward_proj="gated-gelu")
+    model = UMT5EncoderModel(hf_cfg).eval()
+    model.save_pretrained(str(ckpt), safe_serialization=True)
+    # minimal OFFLINE tokenizer: train a tiny word-level fast tokenizer
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import WordLevelTrainer
+    from transformers import PreTrainedTokenizerFast
+
+    t = Tokenizer(WordLevel(unk_token="<unk>"))
+    t.pre_tokenizer = Whitespace()
+    t.train_from_iterator(["a toy moves", "hello world"],
+                          WordLevelTrainer(special_tokens=["<pad>",
+                                                           "<unk>"]))
+    tok = PreTrainedTokenizerFast(tokenizer_object=t, pad_token="<pad>",
+                                  unk_token="<unk>")
+    tok.save_pretrained(str(ckpt))
+
+    # the saved encoder config lacks _class_name; architectures has it
+    csvs = tmp_path / "csvs"
+    csvs.mkdir()
+    with open(csvs / "d.csv", "w") as f:
+        f.write("video_path,Structured_Text_Prompt\n")
+        f.write(f'v.mp4,"{json.dumps(["a toy moves"]).replace(chr(34), chr(34)*2)}"\n')
+    out = tmp_path / "cache"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "precompute_prompt_embeddings.py"),
+         "--csv_folder", str(csvs), "--text_encoder_path", str(ckpt),
+         "--output_dir", str(out), "--max_text_len", "8"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
+    c = PromptEmbeddingCache(str(out), 8, 16)
+    got = c.get("a toy moves")
+    assert got.shape == (8, 16) and np.abs(got).sum() > 0
