@@ -74,7 +74,7 @@ def process_video(name, video_folder, id_out_folder, args):
     from frameino_tpu.preprocess.motion_tracking import (motion_magnitude,
                                                          track_step)
     from frameino_tpu.preprocess.panoptic import (
-        connected_component_panoptic, run_panoptic_step)
+        connected_component_panoptic, motion_segmenter, run_panoptic_step)
     from frameino_tpu.preprocess.scene_cut import (longest_clean_span,
                                                    score_scene_cuts)
 
@@ -106,9 +106,14 @@ def process_video(name, video_folder, id_out_folder, args):
     if not keep_by_camera_motion(clip):
         return None, "camera_pose"
 
-    # 4. panoptic -> per-object first-frame points + masks
+    # 4. panoptic -> per-object first-frame points + masks.
+    # Primary: camera-compensated motion segmentation (independent
+    # movers are the Frame-In/Out candidates); appearance-based
+    # connected components as fallback for static starts.
     rng = np.random.default_rng(args.seed)
-    segments = connected_component_panoptic(clip[0])
+    segments = motion_segmenter(clip)
+    if not segments:
+        segments = connected_component_panoptic(clip[0])
     obj_info_payload, seg_payload = run_panoptic_step(
         clip, lambda f: segments, frame_idx=0,
         num_points=args.num_points, rng=rng)

@@ -97,3 +97,25 @@ def test_region_boxes_exclude_object():
 def test_caption_step_fallback():
     frames = np.zeros((2, 8, 8, 3), np.uint8)
     assert isinstance(caption_step(frames), str)
+
+
+def test_motion_segmenter_finds_moving_object():
+    """Camera-compensated motion segmentation: a moving square over a
+    static textured background yields one instance at its location."""
+    import numpy as np
+    from frameino_tpu.preprocess.panoptic import motion_segmenter
+    rs = np.random.RandomState(0)
+    bg = rs.randint(10, 60, (64, 96, 3)).astype(np.uint8)
+    frames = []
+    for t in range(24):
+        f = bg.copy()
+        x = 8 + 2 * t
+        f[20:36, x:x + 16] = (220, 180, 60)
+        frames.append(f)
+    segs = motion_segmenter(np.stack(frames))
+    assert segs, "no moving object found"
+    label, mask = max(segs, key=lambda s: s[1].sum())
+    # the largest mover overlaps the square's frame-0 box
+    assert mask[20:36, 8:24].sum() > 0.2 * 16 * 16
+    # static background is mostly excluded
+    assert mask.sum() < 0.3 * mask.size
