@@ -192,7 +192,11 @@ class CogVideoXImageToVideoPipeline:
                  key: Optional[jax.Array] = None,
                  latents: Optional[jax.Array] = None,
                  output_type: str = "np",
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None,
+                 decode_mode: str = "full"):
+        # decode_mode accepted for driver parity with the Wan pipeline;
+        # the CogVideoX VAE decode is already temporally segmented
+        # (frame_batch_size_decode), so every mode maps to it.
         vae_cfg = self.vae_cfg
         key = key if key is not None else jax.random.key(0)
         k_lat, k_cond = jax.random.split(key)

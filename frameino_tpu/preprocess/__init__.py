@@ -29,3 +29,7 @@ from frameino_tpu.preprocess.image_scoring import score_images
 from frameino_tpu.preprocess.panoptic import sample_points_from_mask
 from frameino_tpu.preprocess.motion_tracking import motion_magnitude_filter
 from frameino_tpu.preprocess.frameino_labeling import find_region_boxes
+from frameino_tpu.preprocess.lk_tracker import lk_track_cycle, make_lk_tracker
+from frameino_tpu.preprocess.panoptic import motion_segmenter
+from frameino_tpu.preprocess.camera_pose import (camera_motion_stats,
+                                                 keep_by_camera_motion)

@@ -172,7 +172,11 @@ def main():
                 num_inference_steps=steps,
                 guidance_scale=float(config.get("guidance_scale", 5.0)),
                 key=jax.random.key(idx), attn_impl="xla" if args.smoke
-                else None)
+                else None,
+                # full-sequence decode OOMs next to the resident 5B DiT
+                # at eval resolutions on a 16G chip; the hybrid
+                # (tiled x streaming) is the production decode
+                decode_mode="full" if args.smoke else "hybrid")
             gen = ((np.asarray(video)[0].transpose(1, 2, 3, 0) + 1) / 2
                    * 255).clip(0, 255).astype(np.uint8)
             write_instance_artifacts(
