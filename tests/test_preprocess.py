@@ -119,3 +119,67 @@ def test_motion_segmenter_finds_moving_object():
     assert mask[20:36, 8:24].sum() > 0.2 * 16 * 16
     # static background is mostly excluded
     assert mask.sum() < 0.3 * mask.size
+
+
+def test_prepare_openvid_csv(tmp_path):
+    """Step-0 CSV prep: join master CSV with present files, shard."""
+    import csv as _csv
+    import os
+    from frameino_tpu.preprocess.dataset_download import prepare_openvid_csv
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    (vids / "a.mp4").write_bytes(b"x")
+    (vids / "c.mp4").write_bytes(b"x")
+    master = tmp_path / "OpenVid-1M.csv"
+    with open(master, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["video", "caption", "fps"])
+        w.writerow(["a.mp4", "a cat", 24])
+        w.writerow(["b.mp4", "missing file", 24])
+        w.writerow(["c.mp4", "a dog", 24])
+    out = tmp_path / "csvs"
+    n = prepare_openvid_csv(str(master), str(vids), str(out),
+                            division_num=2)
+    assert n == 2
+    rows = []
+    for name in sorted(os.listdir(out)):
+        with open(out / name) as f:
+            r = list(_csv.reader(f))
+            assert r[0] == ["ID", "video_path", "provided_text"]
+            rows += r[1:]
+    assert len(rows) == 2
+    assert rows[0][2] == "a cat" and rows[1][2] == "a dog"
+
+
+def test_download_openvid_with_fake_opener(tmp_path):
+    """Download step with an injected opener: zip parts extract flat;
+    a failing part falls back to the split URLs then logs."""
+    import os
+    import zipfile as _zf
+    from frameino_tpu.preprocess.dataset_download import download_openvid
+
+    def make_zip(dst, names):
+        with _zf.ZipFile(dst, "w") as z:
+            for n in names:
+                z.writestr(n, b"videodata")
+
+    calls = []
+
+    def opener(url, dst):
+        calls.append(url)
+        if url.endswith("OpenVid_part0.zip"):
+            make_zip(dst, ["sub/v0.mp4"])
+        elif url.endswith("OpenVid_part1.zip"):
+            raise IOError("too big")
+        elif url.endswith("OpenVid_part1_part0.zip"):
+            make_zip(dst, ["v1_0.mp4"])
+        elif url.endswith("OpenVid_part1_part1.zip"):
+            make_zip(dst, ["v1_1.mp4"])
+        else:
+            raise AssertionError(url)
+
+    done = download_openvid(str(tmp_path), 0, 2, url_opener=opener)
+    assert len(done) == 2
+    vids = os.listdir(tmp_path / "videos")
+    assert "v0.mp4" in vids            # flat extraction (basename only)
+    assert any(v.startswith("v1_") for v in vids)
