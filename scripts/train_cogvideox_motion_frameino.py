@@ -28,6 +28,8 @@ def parse_args():
                    help="motion-only recipe (no ID branch)")
     p.add_argument("--surgery", action="store_true",
                    help="widen base patch embedding by +16 traj channels")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of step 2 here")
     return p.parse_args()
 
 
@@ -112,6 +114,12 @@ def main():
         raise ValueError("dataset yields no batches at this batch size")
 
     max_text = int(config.get("max_text_seq_length", 226))
+    cache_dir = config.get("prompt_embeds_cache")
+    pcache = None
+    if cache_dir and os.path.isdir(str(cache_dir)):
+        from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
+        pcache = PromptEmbeddingCache(str(cache_dir), max_text,
+                                      dit_cfg.text_embed_dim)
     max_steps = int(config.get("max_train_steps", 1000))
     ckpt_every = int(config.get("checkpointing_steps", 2000))
     from frameino_tpu.core.metrics_logger import MetricsLogger
@@ -130,8 +138,10 @@ def main():
             "traj_tensor": _np.stack([i["traj_tensor"] for i in items]),
             "ID_tensor": None if args.stage1 else _np.stack(
                 [i["ID_tensor"] for i in items]),
-            "prompt_embeds": _np.zeros(
-                (len(items), max_text, dit_cfg.text_embed_dim), _np.float32),
+            "prompt_embeds": pcache.batch(
+                [i["text_prompt"] for i in items]) if pcache is not None
+            else _np.zeros((len(items), max_text, dit_cfg.text_embed_dim),
+                           _np.float32),
         }
 
     num_workers = int(config.get("dataloader_num_workers", 2))
@@ -139,7 +149,10 @@ def main():
         sampler.set_epoch(step_count)
         for batch in BatchPrefetcher(make_batch, sampler,
                                      num_workers=num_workers):
-            state, m = step_fn(state, vae_params, batch, key)
+            from frameino_tpu.core.metrics_logger import maybe_profile
+            with maybe_profile(args.profile_dir
+                               if step_count == 2 else None):
+                state, m = step_fn(state, vae_params, batch, key)
             step_count = int(state.step)
             if step_count % 10 == 0 or args.smoke:
                 loss = float(m["loss"])
