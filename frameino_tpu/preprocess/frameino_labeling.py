@@ -78,3 +78,25 @@ def crop_id_reference(frame: np.ndarray, mask: np.ndarray,
     x1, y1 = min(w, x1 + pad), min(h, y1 + pad)
     crop = frame[y0:y1, x0:x1] * (mask[y0:y1, x0:x1, None] > 0)
     return crop.astype(np.uint8)
+
+
+def label_step(first_frame: np.ndarray, mask: np.ndarray,
+               keep_n: int = 5, grid: int = 8, min_frac: float = 0.3):
+    """Step-8 convenience: object mask on frame 0 -> (ID_info entry,
+    ID crop image) or (None, None) when no valid region box exists.
+
+    The entry is ``[segmentation_info, region_boxes]`` shaped like the
+    dataset's ``ID_info`` column (segmentation_info =
+    [bbox, <crop filename to be filled by the caller>, []]).
+    """
+    boxes = find_region_boxes(mask, keep_n=keep_n, grid=grid,
+                              min_frac=min_frac)
+    if not boxes:
+        return None, None
+    crop = crop_id_reference(first_frame, mask)
+    if crop is None or crop.size == 0:
+        return None, None
+    bbox = object_bbox(mask)
+    entry = [[list(bbox), None, []],
+             [[int(b[0]), list(b[1]), list(b[2])] for b in boxes]]
+    return entry, crop
