@@ -65,3 +65,31 @@ def test_profiling_utils():
     ml.log(1, {"loss": jnp.float32(0.5)})
     rec = json.loads(open(path).read())
     assert rec == {"step": 1, "loss": 0.5}
+
+
+def test_wan21_image_encoder_fn_wiring():
+    """image_encoder_fn (the CLIP vision tower hook) is invoked when the
+    DiT has an image-KV branch and no precomputed image_embeds given."""
+    import dataclasses
+    cfg = dataclasses.replace(DIT_CFG, image_dim=8)
+    vae_params = wan_vae.init_wan_vae(jax.random.key(0), VAE_CFG)
+    dit_params = wan_dit.init_wan_dit(jax.random.key(1), cfg)
+    calls = []
+
+    def fake_clip(image):
+        calls.append(np.asarray(image).shape)
+        return jnp.zeros((1, 5, 8))          # [B, tokens, image_dim]
+
+    pipe = P.WanImageToVideoPipeline(
+        cfg, dit_params, VAE_CFG, vae_params,
+        P.WanPipelineConfig(expand_timesteps=False),
+        image_encoder_fn=fake_clip)
+    image = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 3, 16, 16)))
+    traj = jnp.tanh(jax.random.normal(jax.random.key(3), (1, 3, 9, 16, 16)))
+    text = jax.random.normal(jax.random.key(4), (1, 7, cfg.text_dim))
+    video = pipe(image, prompt_embeds=text, traj_tensor=traj,
+                 height=16, width=16,
+                 num_frames=9, num_inference_steps=2, guidance_scale=3.0,
+                 key=jax.random.key(5), attn_impl="xla")
+    assert calls == [(1, 3, 16, 16)]
+    assert np.isfinite(video).all()
