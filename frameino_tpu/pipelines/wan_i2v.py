@@ -232,11 +232,16 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
                     sigmas: jax.Array, sigmas_next: jax.Array,
                     timesteps: jax.Array,
                     guidance_scale: float,
-                    attn_impl: Optional[str] = None) -> jax.Array:
+                    attn_impl: Optional[str] = None,
+                    cfg_sequential: bool = False) -> jax.Array:
     """Scan one expert over its timestep segment.
 
     latents: [B, z, F, h, w]; context_2b: [2B, L, text_dim] (cond; uncond).
     sigmas/sigmas_next/timesteps: [steps] fp32 arrays for this segment.
+    ``cfg_sequential`` runs cond and uncond as two batch-B forwards
+    instead of one batch-2B call — halves activation memory, required
+    for the flagship 704x1280x81f shape on a single 16G chip (the
+    reference always runs sequentially, ``:862-882``).
     """
     B = latents.shape[0]
     num_gen_frames = latents.shape[2]
@@ -272,7 +277,15 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
 
         t_b = jnp.broadcast_to(t, (B,))
 
-        if do_cfg:
+        if do_cfg and cfg_sequential:
+            pred_cond = wan_dit.wan_dit_forward(
+                dit_cfg, dit_params, latent_in, t_b, context_2b[:B],
+                timestep_mask=ts_mask_b, attn_impl=attn_impl)
+            pred_uncond = wan_dit.wan_dit_forward(
+                dit_cfg, dit_params, latent_in, t_b, context_2b[B:],
+                timestep_mask=ts_mask_b, attn_impl=attn_impl)
+            noise_pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+        elif do_cfg:
             model_in = jnp.concatenate([latent_in, latent_in], axis=0)
             pred = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, model_in,
@@ -297,7 +310,8 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "dit_cfg_2", "guidance_scale",
-                     "guidance_scale_2", "attn_impl", "split_idx"))
+                     "guidance_scale_2", "attn_impl", "split_idx",
+                     "cfg_mode"))
 def denoise(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
             latents: jax.Array, condition: jax.Array,
             traj_latents: Optional[jax.Array],
@@ -310,7 +324,8 @@ def denoise(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
             dit_cfg_2: Optional[wan_dit.WanDiTConfig] = None,
             dit_params_2: Optional[Params] = None,
             guidance_scale_2: Optional[float] = None,
-            split_idx: int = 0) -> jax.Array:
+            split_idx: int = 0,
+            cfg_mode: str = "batch") -> jax.Array:
     """Full CFG denoise loop. sigmas: [steps+1]; timesteps: [steps].
 
     ``split_idx`` > 0 routes steps [0, split_idx) to ``dit_params`` (high
@@ -321,7 +336,8 @@ def denoise(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
     seg = functools.partial(
         denoise_segment, condition=condition, traj_latents=traj_latents,
         id_latents=id_latents, first_frame_mask=first_frame_mask,
-        context_2b=context_2b, attn_impl=attn_impl)
+        context_2b=context_2b, attn_impl=attn_impl,
+        cfg_sequential=cfg_mode == "sequential")
 
     if split_idx and dit_params_2 is not None:
         latents = seg(dit_cfg, dit_params, latents,
@@ -404,6 +420,7 @@ class WanImageToVideoPipeline:
                  last_image: Optional[jax.Array] = None,
                  output_type: str = "np",
                  decode_mode: str = "full",
+                 cfg_mode: str = "batch",
                  attn_impl: Optional[str] = None):
         vae_cfg = self.vae_cfg
         num_frames = round_num_frames(num_frames,
@@ -476,7 +493,7 @@ class WanImageToVideoPipeline:
                 attn_impl=attn_impl, dit_params_2=self.dit_params_2,
                 guidance_scale_2=(None if guidance_scale_2 is None
                                   else float(guidance_scale_2)),
-                split_idx=split_idx)
+                split_idx=split_idx, cfg_mode=cfg_mode)
 
         if output_type == "latent":
             return latents

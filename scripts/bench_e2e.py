@@ -27,6 +27,8 @@ from frameino_tpu.pipelines import wan_i2v as P
 # 448x832 gives UNIFORM 256/192 tiles (H,W = 192k+256), so the tiled
 # VAE compiles one tile shape instead of four — the remote compiler is
 # the bottleneck, not the chip. 448 is also the CogVideoX eval height.
+# --flagship switches to the Wan2.2 paper shape 704x1280x81f with
+# sequential CFG (batch-2 OOMs at 19.4k tokens on one chip).
 H, W, F = 448, 832, 49
 STEPS = 50
 
@@ -36,7 +38,11 @@ def zeros_like_tree(shapes):
 
 
 def main():
+    global H, W, F
     int8 = "--int8" in sys.argv
+    flagship = "--flagship" in sys.argv
+    if flagship:
+        H, W, F = 704, 1280, 81
     dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
     vae_cfg = wan_vae.WAN22_VAE_CONFIG
     dit_params = zeros_like_tree(jax.eval_shape(
@@ -76,7 +82,8 @@ def main():
         lat = P.denoise(dit_cfg, dit_params, latents, cond, traj_lat,
                         id_lat, mask, text, jnp.zeros_like(text),
                         jnp.asarray(sigmas_np), jnp.asarray(ts_np),
-                        guidance_scale=5.0)
+                        guidance_scale=5.0,
+                        cfg_mode="sequential" if flagship else "batch")
         return lat
 
     t0 = time.time()
@@ -109,7 +116,9 @@ def main():
 
     total = denoise_s + decode_s
     print(json.dumps({
-        "metric": "wan22_5b_frameino_sec_per_49f_448x832_clip"
+        "metric": ("wan22_5b_frameino_sec_per_81f_704x1280_clip"
+                   if flagship else
+                   "wan22_5b_frameino_sec_per_49f_448x832_clip")
                   + ("_int8" if int8 else ""),
         "value": round(total, 2),
         "unit": "seconds (VAE encodes + 50-step CFG denoise + hybrid decode)",

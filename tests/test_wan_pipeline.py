@@ -138,3 +138,20 @@ def test_two_expert_boundary_split(pipe):
     # a single-expert run with the same params differs (expert 2 kicked in)
     b = pipe(image, **kw)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sequential_cfg_matches_batch(pipe):
+    """cfg_mode='sequential' (two batch-B forwards; the single-chip
+    flagship-shape config) == batch-doubled CFG exactly."""
+    import jax
+    import jax.numpy as jnp
+    image = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 3, 16, 16)))
+    traj = jnp.tanh(jax.random.normal(jax.random.key(3), (1, 3, 9, 16, 16)))
+    text = jax.random.normal(jax.random.key(4), (1, 7, DIT_CFG.text_dim))
+    kw = dict(prompt_embeds=text, traj_tensor=traj, height=16, width=16,
+              num_frames=9, num_inference_steps=2, guidance_scale=3.0,
+              key=jax.random.key(5), attn_impl="xla")
+    a = pipe(image, cfg_mode="batch", **kw)
+    b = pipe(image, cfg_mode="sequential", **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-4)
