@@ -30,7 +30,7 @@ from frameino_tpu.pipelines import wan_i2v as P
 # --flagship switches to the Wan2.2 paper shape 704x1280x81f with
 # sequential CFG (batch-2 OOMs at 19.4k tokens on one chip).
 H, W, F = 448, 832, 49
-STEPS = 50
+STEPS = int(os.environ.get("E2E_STEPS", 50))
 
 
 def zeros_like_tree(shapes):
