@@ -421,6 +421,7 @@ class WanImageToVideoPipeline:
                  output_type: str = "np",
                  decode_mode: str = "full",
                  cfg_mode: str = "batch",
+                 steps_per_program: Optional[int] = None,
                  attn_impl: Optional[str] = None):
         vae_cfg = self.vae_cfg
         num_frames = round_num_frames(num_frames,
@@ -485,15 +486,31 @@ class WanImageToVideoPipeline:
                     * sched.num_train_timesteps
                 split_idx = int(np.sum(timesteps_np >= boundary_t))
 
-            latents = denoise(
-                self.dit_cfg, self.dit_params, latents, condition,
-                traj_latents, id_latents, mask, prompt_embeds,
-                negative_prompt_embeds, sigmas, timesteps,
-                guidance_scale=float(guidance_scale),
-                attn_impl=attn_impl, dit_params_2=self.dit_params_2,
-                guidance_scale_2=(None if guidance_scale_2 is None
-                                  else float(guidance_scale_2)),
-                split_idx=split_idx, cfg_mode=cfg_mode)
+            common = dict(guidance_scale=float(guidance_scale),
+                          attn_impl=attn_impl, cfg_mode=cfg_mode)
+            if steps_per_program and split_idx == 0:
+                # chunk the schedule into bounded XLA programs: the final
+                # per-chunk re-blend is idempotent under the binary mask,
+                # so chunked denoising is exactly equal to one program
+                # (also sidesteps runtime watchdogs on very long single
+                # program executions)
+                n = num_inference_steps
+                for a in range(0, n, int(steps_per_program)):
+                    b = min(n, a + int(steps_per_program))
+                    latents = denoise(
+                        self.dit_cfg, self.dit_params, latents, condition,
+                        traj_latents, id_latents, mask, prompt_embeds,
+                        negative_prompt_embeds, sigmas[a:b + 1],
+                        timesteps[a:b], **common)
+            else:
+                latents = denoise(
+                    self.dit_cfg, self.dit_params, latents, condition,
+                    traj_latents, id_latents, mask, prompt_embeds,
+                    negative_prompt_embeds, sigmas, timesteps,
+                    dit_params_2=self.dit_params_2,
+                    guidance_scale_2=(None if guidance_scale_2 is None
+                                      else float(guidance_scale_2)),
+                    split_idx=split_idx, **common)
 
         if output_type == "latent":
             return latents

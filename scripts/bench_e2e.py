@@ -79,11 +79,19 @@ def main():
         from frameino_tpu.schedulers.flow_match_euler import inference_sigmas
         sigmas_np, ts_np = inference_sigmas(
             P.WanPipelineConfig().scheduler, STEPS)
-        lat = P.denoise(dit_cfg, dit_params, latents, cond, traj_lat,
-                        id_lat, mask, text, jnp.zeros_like(text),
-                        jnp.asarray(sigmas_np), jnp.asarray(ts_np),
-                        guidance_scale=5.0,
-                        cfg_mode="sequential" if flagship else "batch")
+        sig = jnp.asarray(sigmas_np)
+        ts = jnp.asarray(ts_np)
+        chunk = int(os.environ.get("E2E_CHUNK", 0)) or STEPS
+        lat = latents
+        # chunked programs (idempotent re-blend; sidesteps the tunnel's
+        # long-single-program watchdog at the flagship shape)
+        for a in range(0, STEPS, chunk):
+            b = min(STEPS, a + chunk)
+            lat = P.denoise(dit_cfg, dit_params, lat, cond, traj_lat,
+                            id_lat, mask, text, jnp.zeros_like(text),
+                            sig[a:b + 1], ts[a:b],
+                            guidance_scale=5.0,
+                            cfg_mode="sequential" if flagship else "batch")
         return lat
 
     t0 = time.time()

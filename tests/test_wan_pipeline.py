@@ -155,3 +155,23 @@ def test_sequential_cfg_matches_batch(pipe):
     b = pipe(image, cfg_mode="sequential", **kw)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_denoise_matches_single_program(pipe):
+    """steps_per_program chunking == one compiled program exactly (the
+    per-chunk final re-blend is idempotent under the binary mask)."""
+    import jax
+    import jax.numpy as jnp
+    image = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 3, 16, 16)))
+    traj = jnp.tanh(jax.random.normal(jax.random.key(3), (1, 3, 9, 16, 16)))
+    text = jax.random.normal(jax.random.key(4), (1, 7, DIT_CFG.text_dim))
+    kw = dict(prompt_embeds=text, traj_tensor=traj, height=16, width=16,
+              num_frames=9, num_inference_steps=4, guidance_scale=3.0,
+              key=jax.random.key(5), attn_impl="xla")
+    a = pipe(image, **kw)
+    b = pipe(image, steps_per_program=2, **kw)
+    c = pipe(image, steps_per_program=3, **kw)   # uneven tail chunk
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
