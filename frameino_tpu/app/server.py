@@ -36,6 +36,11 @@ from typing import Optional
 
 import numpy as np
 
+# generous cap: largest legitimate request is a base64 first frame +
+# trajectory json (~10 MB); 256 MB rejects pathological bodies without
+# reading them into memory
+MAX_REQUEST_BYTES = 256 * 1024 * 1024
+
 
 def _decode_image(b64: str) -> np.ndarray:
     from PIL import Image
@@ -48,7 +53,8 @@ def _encode_video_mp4(frames: np.ndarray, fps: int = 16) -> str:
     import tempfile
 
     from frameino_tpu.data.video_io import write_video
-    path = tempfile.mktemp(suffix=".mp4")
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    os.close(fd)
     try:
         write_video(path, frames, fps=fps)
         with open(path, "rb") as f:
@@ -170,6 +176,9 @@ class PipelineServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_REQUEST_BYTES:
+                        self._send(413, {"error": "request too large"})
+                        return
                     req = json.loads(self.rfile.read(n))
                     self._send(200, server.handle_generate(req))
                 except Exception as e:  # noqa: BLE001 - report to client
@@ -177,7 +186,9 @@ class PipelineServer:
 
         return Handler
 
-    def serve(self, host: str = "0.0.0.0", port: int = 8188):
+    def serve(self, host: str = "127.0.0.1", port: int = 8188):
+        """Loopback by default — there is no auth layer; bind 0.0.0.0
+        explicitly (behind a proxy) to expose it."""
         httpd = ThreadingHTTPServer((host, port), self.make_handler())
         print(f"FrameINO-TPU serving on {host}:{port}")
         httpd.serve_forever()

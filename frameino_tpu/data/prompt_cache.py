@@ -59,14 +59,22 @@ class PromptEmbeddingCache:
             json.dump(self._index, f)
 
     def get(self, prompt: str,
-            fallback: Optional[np.ndarray] = None) -> np.ndarray:
+            fallback: Optional[np.ndarray] = None,
+            strict: bool = False) -> np.ndarray:
         path = os.path.join(self.dir, f"{prompt_key(prompt)}.npy")
         if os.path.exists(path):
             return np.load(path)
+        if strict:
+            raise KeyError(
+                f"prompt not in embedding cache {self.dir!r}: "
+                f"{prompt[:80]!r}... — run "
+                f"scripts/precompute_prompt_embeddings.py over the train "
+                f"CSV, or set prompt_cache_allow_misses: true to train "
+                f"with zero embeddings for uncached prompts")
         self.misses += 1
         if fallback is not None:
             return fallback
         return np.zeros((self.max_text_len, self.text_dim), np.float32)
 
-    def batch(self, prompts) -> np.ndarray:
-        return np.stack([self.get(p) for p in prompts])
+    def batch(self, prompts, strict: bool = False) -> np.ndarray:
+        return np.stack([self.get(p, strict=strict) for p in prompts])

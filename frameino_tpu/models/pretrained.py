@@ -27,6 +27,13 @@ from frameino_tpu.models import weights as W
 Params = Dict[str, Any]
 
 
+class UnsupportedModelClass(ValueError):
+    """A config.json names a model class this loader does not handle
+    (scheduler/tokenizer subdirs of a pipeline). Only this is skippable
+    by ``load_pipeline_dir`` — any other ValueError (e.g. the Wan2.2
+    VAE latents-stats placeholder refusal) must propagate."""
+
+
 def read_config_json(path: str) -> Dict[str, Any]:
     """Read ``config.json`` from a checkpoint directory (or a direct path)."""
     if os.path.isdir(path):
@@ -149,8 +156,9 @@ def from_pretrained(path: str, class_name: str = None) -> Tuple[Any, Params]:
         archs = cj.get("architectures") or []
         name = archs[0] if archs else None
     if name is None:
-        raise ValueError(f"{path}: config.json has no _class_name; pass "
-                         f"class_name explicitly")
+        raise UnsupportedModelClass(
+            f"{path}: config.json has no _class_name; pass class_name "
+            f"explicitly")
 
     if name in _T5_CLASSES:
         cfg = t5_config_from_json(cj)
@@ -164,7 +172,8 @@ def from_pretrained(path: str, class_name: str = None) -> Tuple[Any, Params]:
             W.load_safetensors_dir(path), cfg)
         return cfg, params
     if name not in _LOADERS:
-        raise ValueError(f"{path}: unsupported _class_name {name!r}")
+        raise UnsupportedModelClass(
+            f"{path}: unsupported _class_name {name!r}")
     cfg_fn, params_fn = _LOADERS[name]
     cfg = cfg_fn(cj)
     params = params_fn(W.load_safetensors_dir(path), cfg)
@@ -183,6 +192,6 @@ def load_pipeline_dir(root: str) -> Dict[str, Tuple[Any, Params]]:
             continue
         try:
             out[sub] = from_pretrained(d)
-        except ValueError:
+        except UnsupportedModelClass:
             continue  # non-model dirs (scheduler, tokenizer)
     return out

@@ -66,6 +66,10 @@ def download_openvid(output_directory: str, start_zip_idx: int,
             flat_extract(zp)
             done.append(zp)
         except Exception as e:  # noqa: BLE001 - log and continue
+            # the primary zip may exist partially on disk; it was never
+            # fully downloaded, so drop it and record the real chunk paths
+            if os.path.exists(zp):
+                os.remove(zp)
             try:
                 # oversized parts ship split in two (reference fallback)
                 for j in range(2):
@@ -73,7 +77,7 @@ def download_openvid(output_directory: str, start_zip_idx: int,
                                       f"OpenVid_part{i}_part{j}.zip")
                     fetch(OPENVID_PART_URL.format(i=i, j=j), pp)
                     flat_extract(pp)
-                done.append(zp)
+                    done.append(pp)
             except Exception as e2:  # noqa: BLE001
                 with open(log_path, "a") as f:
                     f.write(f"part {i} failed: {e}; fallback: {e2}\n")

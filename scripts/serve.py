@@ -24,7 +24,7 @@ def parse_args():
     p.add_argument("--family", choices=["wan", "cogvideox"], default="wan")
     p.add_argument("--text_encoder", default=None)
     p.add_argument("--quantize", choices=["int8"], default=None)
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8188)
     p.add_argument("--smoke", action="store_true")
     return p.parse_args()

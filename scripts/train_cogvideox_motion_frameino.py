@@ -116,10 +116,16 @@ def main():
     max_text = int(config.get("max_text_seq_length", 226))
     cache_dir = config.get("prompt_embeds_cache")
     pcache = None
-    if cache_dir and os.path.isdir(str(cache_dir)):
+    if cache_dir and not os.path.isdir(str(cache_dir)):
+        raise FileNotFoundError(
+            f"prompt_embeds_cache configured but not a directory: "
+            f"{cache_dir!r}")
+    if cache_dir:
         from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
         pcache = PromptEmbeddingCache(str(cache_dir), max_text,
                                       dit_cfg.text_embed_dim)
+    _cache_strict = not bool(config.get("prompt_cache_allow_misses",
+                                        False))
     max_steps = int(config.get("max_train_steps", 1000))
     ckpt_every = int(config.get("checkpointing_steps", 2000))
     from frameino_tpu.core.metrics_logger import MetricsLogger
@@ -139,7 +145,8 @@ def main():
             "ID_tensor": None if args.stage1 else _np.stack(
                 [i["ID_tensor"] for i in items]),
             "prompt_embeds": pcache.batch(
-                [i["text_prompt"] for i in items]) if pcache is not None
+                [i["text_prompt"] for i in items],
+                strict=_cache_strict) if pcache is not None
             else _np.zeros((len(items), max_text, dit_cfg.text_embed_dim),
                            _np.float32),
         }

@@ -155,13 +155,22 @@ def main():
         text_dim = dit_cfg.text_dim
         max_text = int(config.get("max_text_seq_length", 512))
         cache_dir = config.get("prompt_embeds_cache")
-        if cache_dir and os.path.isdir(str(cache_dir)):
+        if cache_dir and not os.path.isdir(str(cache_dir)):
+            # a typo'd/unmounted cache path must not silently train with
+            # all-zero text embeddings (ADVICE r2)
+            raise FileNotFoundError(
+                f"prompt_embeds_cache configured but not a directory: "
+                f"{cache_dir!r}")
+        if cache_dir:
             from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
             _pcache = PromptEmbeddingCache(str(cache_dir), max_text,
                                            text_dim)
+            _allow_misses = bool(config.get("prompt_cache_allow_misses",
+                                            False))
 
             def embed_prompts(prompts):
-                return jnp.asarray(_pcache.batch(prompts))
+                return jnp.asarray(
+                    _pcache.batch(prompts, strict=not _allow_misses))
         else:
             def embed_prompts(prompts):
                 return jnp.zeros((len(prompts), max_text, text_dim))

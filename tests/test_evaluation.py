@@ -121,9 +121,10 @@ def test_vlm_http_judge_contract():
     import numpy as np
     import pytest
     from frameino_tpu.evaluation.perception import load_vlm_judge_http
+    import urllib.error
     judge = load_vlm_judge_http("http://127.0.0.1:1", timeout=0.2)
     frames = np.zeros((2, 8, 8, 3), np.uint8)
-    with pytest.raises(Exception) as ei:
+    # must be a *network* error (request fully constructed), never a
+    # TypeError/KeyError from request construction
+    with pytest.raises((urllib.error.URLError, OSError)):
         judge(frames, "prompt", True)
-    assert "Connection" in type(ei.value).__name__ or "URL" in str(
-        type(ei.value).__name__) or True

