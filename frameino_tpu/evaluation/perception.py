@@ -186,12 +186,11 @@ QWEN_FRAME_OUT_PROMPT = ("Please check if the object leave the frame. "
                          "Return a Yes/No as the only response.")
 
 
-def load_qwen_judge(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
-                    device_map: str = "auto", load_in_4bit: bool = True,
-                    llm_fps: int = 1) -> Callable:
-    """Qwen2.5-VL judge (reference ``evaluate_INO_VLM.py:36-49,74-88``):
-    14 sampled frames as a video message, yes/no instruction, nf4
-    4-bit quantized weights."""
+def load_qwen_vl(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
+                 device_map: str = "auto", load_in_4bit: bool = True):
+    """Shared Qwen2.5-VL loader (judge + preprocess captioner): returns
+    ``(processor, model)``, nf4 4-bit quantized when bitsandbytes is
+    present."""
     import torch
     from transformers import AutoProcessor
     from transformers import Qwen2_5_VLForConditionalGeneration
@@ -209,6 +208,16 @@ def load_qwen_judge(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
             pass
     model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
         model_path, **kwargs)
+    return processor, model
+
+
+def load_qwen_judge(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
+                    device_map: str = "auto", load_in_4bit: bool = True,
+                    llm_fps: int = 1) -> Callable:
+    """Qwen2.5-VL judge (reference ``evaluate_INO_VLM.py:36-49,74-88``):
+    14 sampled frames as a video message, yes/no instruction, nf4
+    4-bit quantized weights."""
+    processor, model = load_qwen_vl(model_path, device_map, load_in_4bit)
 
     def judge(frames: np.ndarray, prompt: str, is_frame_in: bool) -> str:
         instruction = (QWEN_FRAME_IN_PROMPT if is_frame_in

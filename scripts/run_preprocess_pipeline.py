@@ -58,14 +58,39 @@ def parse_args():
     p.add_argument("--num_points", type=int, default=10)
     p.add_argument("--keep_boxes", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--caption_backend", default="qwen",
+                   choices=["qwen", "http", "template"],
+                   help="VLM captioner. 'template' is the offline smoke "
+                        "opt-in (deterministic content-derived strings, "
+                        "NOT real captions).")
+    p.add_argument("--caption_model",
+                   default="Qwen/Qwen2.5-VL-32B-Instruct")
+    p.add_argument("--vlm_endpoint", default=None,
+                   help="OpenAI-compatible endpoint for "
+                        "--caption_backend http")
     return p.parse_args()
 
 
-def process_video(name, video_folder, id_out_folder, args):
+def build_captioner(args):
+    """Resolve --caption_backend to a vlm callable (or None for the
+    explicit template opt-in)."""
+    from frameino_tpu.preprocess import captioning
+    if args.caption_backend == "qwen":
+        return captioning.load_qwen_captioner(args.caption_model)
+    if args.caption_backend == "http":
+        if not args.vlm_endpoint:
+            raise SystemExit("--caption_backend http needs --vlm_endpoint")
+        return captioning.load_captioner_http(args.vlm_endpoint)
+    print("WARNING: --caption_backend template — captions are "
+          "deterministic offline stand-ins, not VLM output")
+    return None
+
+
+def process_video(name, video_folder, id_out_folder, args, vlm=None):
     from frameino_tpu.data.video_io import decode_video
     from frameino_tpu.preprocess.basic_filter import filter_basic
     from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
-    from frameino_tpu.preprocess.captioning import caption_step
+    from frameino_tpu.preprocess.captioning import caption_segments
     from frameino_tpu.preprocess.frameino_labeling import (crop_id_reference,
                                                            find_region_boxes,
                                                            object_bbox)
@@ -121,8 +146,11 @@ def process_video(name, video_folder, id_out_folder, args):
     if not obj_info:
         return None, "panoptic"
 
-    # 6. caption
-    caption = caption_step(clip)
+    # 6. caption — one caption per panoptic segment start (here the
+    # single frame-0 group), the reference protocol
+    captions = caption_segments(
+        clip, [0], vlm=vlm,
+        allow_template=args.caption_backend == "template")
 
     # 7. LK cycle tracking of the panoptic points
     tracker = make_lk_tracker()
@@ -168,7 +196,7 @@ def process_video(name, video_folder, id_out_folder, args):
     # cropped clip, matching the dataset's indexing contract.
     row = [name, H, W, _dumps([v0, v1]),
            _dumps([seg_points]),
-           _dumps([caption]),
+           _dumps(captions),
            _dumps([track_traj]),
            _dumps([obj_info]),
            _dumps([id_info])]
@@ -182,11 +210,12 @@ def main():
     id_folder = os.path.join(args.output_folder, "video_dataset",
                              "train_ID_FrameIn")
     rows, dropped = [], {}
+    vlm = build_captioner(args)
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
     for name in names:
         row, reason = process_video(name, args.video_folder, id_folder,
-                                    args)
+                                    args, vlm=vlm)
         if row is None:
             dropped[name] = reason
             print(f"drop {name}: {reason}")

@@ -48,7 +48,8 @@ def curated(tmp_path_factory):
         [sys.executable,
          os.path.join(REPO, "scripts", "run_preprocess_pipeline.py"),
          "--video_folder", str(raw), "--output_folder", str(out),
-         "--min_frames", "30", "--min_size", "32", "--min_motion", "2.0"],
+         "--min_frames", "30", "--min_size", "32", "--min_motion", "2.0",
+         "--caption_backend", "template"],
         capture_output=True, text=True, timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stdout + r.stderr[-2000:]
     return root, raw, out, r.stdout
