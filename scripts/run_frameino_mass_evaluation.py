@@ -93,7 +93,8 @@ def build_pipeline(args, config):
             jax.random.fold_in(key, 1), vae_cfg)
         return CogVideoXImageToVideoPipeline(
             dit_cfg, dit_params, vae_cfg, vae_params,
-            CogPipelineConfig(scheduler_type="dpm")), dit_cfg
+            CogPipelineConfig(scheduler_type="dpm"),
+            quantize=args.quantize), dit_cfg
 
 
 def main():
