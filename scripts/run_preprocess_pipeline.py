@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--vlm_endpoint", default=None,
                    help="OpenAI-compatible endpoint for "
                         "--caption_backend http")
+    p.add_argument("--panoptic_checkpoint", default=None,
+                   help="released OneFormer COCO Swin-L .pth; when set, "
+                        "step 4 runs the JAX OneFormer with semantic "
+                        "labels (reference filter_panoptic_multi.py) "
+                        "instead of the motion segmenter")
     return p.parse_args()
 
 
@@ -86,7 +91,8 @@ def build_captioner(args):
     return None
 
 
-def process_video(name, video_folder, id_out_folder, args, vlm=None):
+def process_video(name, video_folder, id_out_folder, args, vlm=None,
+                  oneformer=None):
     from frameino_tpu.data.video_io import decode_video
     from frameino_tpu.preprocess.basic_filter import filter_basic
     from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
@@ -132,11 +138,14 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None):
         return None, "camera_pose"
 
     # 4. panoptic -> per-object first-frame points + masks.
-    # Primary: camera-compensated motion segmentation (independent
-    # movers are the Frame-In/Out candidates); appearance-based
-    # connected components as fallback for static starts.
+    # Preferred: OneFormer with semantic labels (reference step 4);
+    # offline fallback: camera-compensated motion segmentation
+    # (independent movers are the Frame-In/Out candidates), then
+    # appearance-based connected components for static starts.
     rng = np.random.default_rng(args.seed)
-    segments = motion_segmenter(clip)
+    segments = oneformer(clip[0]) if oneformer is not None else []
+    if not segments:
+        segments = motion_segmenter(clip)
     if not segments:
         segments = connected_component_panoptic(clip[0])
     obj_info_payload, seg_payload = run_panoptic_step(
@@ -211,11 +220,17 @@ def main():
                              "train_ID_FrameIn")
     rows, dropped = [], {}
     vlm = build_captioner(args)
+    oneformer = None
+    if args.panoptic_checkpoint:
+        from frameino_tpu.preprocess.panoptic_oneformer import \
+            load_oneformer_segmenter
+        oneformer = load_oneformer_segmenter(args.panoptic_checkpoint,
+                                             motionable_only=True)
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
     for name in names:
         row, reason = process_video(name, args.video_folder, id_folder,
-                                    args, vlm=vlm)
+                                    args, vlm=vlm, oneformer=oneformer)
         if row is None:
             dropped[name] = reason
             print(f"drop {name}: {reason}")
