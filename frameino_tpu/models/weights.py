@@ -151,12 +151,13 @@ def wan_dit_to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def put_lin(name, p):
-        sd[f"{name}.weight"] = np.asarray(p["kernel"]).T
+        sd[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
         if "bias" in p:
             sd[f"{name}.bias"] = np.asarray(p["bias"])
 
     pe = np.asarray(params["patch_embedding"]["kernel"])
-    sd["patch_embedding.weight"] = pe.T.reshape(d, cfg.in_channels, pt, ph, pw)
+    sd["patch_embedding.weight"] = np.ascontiguousarray(
+        pe.T.reshape(d, cfg.in_channels, pt, ph, pw))
     sd["patch_embedding.bias"] = np.asarray(params["patch_embedding"]["bias"])
     ce = params["condition_embedder"]
     put_lin("condition_embedder.time_embedder.linear_1",
@@ -483,14 +484,15 @@ def cogvideox_dit_to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def put_lin(name, pr):
-        sd[f"{name}.weight"] = np.asarray(pr["kernel"]).T
+        sd[f"{name}.weight"] = np.ascontiguousarray(np.asarray(pr["kernel"]).T)
         if "bias" in pr:
             sd[f"{name}.bias"] = np.asarray(pr["bias"])
 
     pe = params["patch_embed"]
     if cfg.patch_size_t is None:
         k = np.asarray(pe["proj"]["kernel"])
-        sd["patch_embed.proj.weight"] = k.T.reshape(d, cfg.in_channels, p, p)
+        sd["patch_embed.proj.weight"] = np.ascontiguousarray(
+            k.T.reshape(d, cfg.in_channels, p, p))
         sd["patch_embed.proj.bias"] = np.asarray(pe["proj"]["bias"])
     else:
         put_lin("patch_embed.proj", pe["proj"])

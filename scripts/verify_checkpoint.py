@@ -1,0 +1,493 @@
+#!/usr/bin/env python
+"""Released-checkpoint numerical parity harness (VERDICT r2 #5).
+
+Scheduler tables, HF weight-name mappings, and the CogVideoX VAE are
+validated by construction in this environment (round-trips, oracle
+recovery) because diffusers is not installed and there is no egress.
+This harness makes first contact with REAL released weights a
+verification instead of a debugging session:
+
+  1. ``dump``   (torch/diffusers side — run wherever diffusers exists):
+       load the released checkpoint, push fixed seeded inputs through
+       each submodel, save inputs + golden activations to an .npz.
+       Covers: Wan/Cog DiT (final output + first/mid/last block
+       activations via hooks), both VAEs (encode across a temporal
+       chunk boundary + decode), UMT5 (live transformers — works in
+       THIS container), and the scheduler tables.
+  2. ``compare`` (JAX side — this framework): load the same checkpoint
+       with our loaders, replay the same inputs, report per-tensor
+       max-abs/rel errors against documented tolerances.
+  3. ``selftest``: exercises the full npz contract today without
+       diffusers — a tiny UMT5 golden dump via live ``transformers``
+       compared against our JAX T5 (real-weights-capable path), plus
+       DiT export->safetensors->reload round-trips through the same
+       compare code.
+
+Tolerances (fp32 vs fp32, documented for real-weights use):
+  UMT5 final hidden states       atol 2e-4  rtol 1e-3
+  VAE encode/decode              atol 5e-4  rtol 1e-3   (conv chains)
+  DiT block/final activations    atol 2e-3  rtol 1e-2   (40-block depth)
+  Scheduler sigma/timestep table atol 1e-6
+
+Reference behavior anchors: ``pipelines/pipeline_wan_i2v_motion_
+FrameINO.py:809-908`` (denoise consumption of scheduler tables),
+``architecture/autoencoder_kl_wan.py:977-1012`` (VAE chunk protocol).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TOL = {
+    "umt5": dict(atol=2e-4, rtol=1e-3),
+    "wan_vae": dict(atol=5e-4, rtol=1e-3),
+    "cog_vae": dict(atol=5e-4, rtol=1e-3),
+    "wan_dit": dict(atol=2e-3, rtol=1e-2),
+    "cog_dit": dict(atol=2e-3, rtol=1e-2),
+    "scheduler": dict(atol=1e-6, rtol=0),
+}
+
+
+def _seeded(shape, seed, scale=1.0):
+    return (np.random.RandomState(seed)
+            .standard_normal(shape).astype(np.float32) * scale)
+
+
+# ---------------------------------------------------------------------------
+# dump — torch/diffusers side
+# ---------------------------------------------------------------------------
+
+def dump_umt5(ckpt: str, out: dict, seed: int):
+    """Live transformers (installed here): golden final hidden states
+    for fixed token ids."""
+    import torch
+    from transformers import UMT5EncoderModel
+    model = UMT5EncoderModel.from_pretrained(
+        ckpt, torch_dtype=torch.float32).eval()
+    vocab = model.config.vocab_size
+    ids = np.random.RandomState(seed).randint(2, vocab, (2, 16))
+    attn = np.ones_like(ids)
+    attn[1, 10:] = 0
+    with torch.no_grad():
+        h = model(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(attn)).last_hidden_state
+    out["input_ids"] = ids
+    out["attention_mask"] = attn
+    out["hidden_states"] = h.numpy()
+
+
+def dump_wan_dit(ckpt: str, out: dict, seed: int):
+    import torch
+    from diffusers import WanTransformer3DModel
+    model = WanTransformer3DModel.from_pretrained(
+        ckpt, torch_dtype=torch.float32).eval()
+    cfg = model.config
+    F, H, W = 4, 16, 16
+    lat = _seeded((1, cfg.in_channels, F, H, W), seed)
+    text = _seeded((1, 32, cfg.text_dim), seed + 1)
+    t = np.array([500.0], np.float32)
+    taps = {}
+    n = len(model.blocks)
+    for name, i in (("block_first", 0), ("block_mid", n // 2),
+                    ("block_last", n - 1)):
+        model.blocks[i].register_forward_hook(
+            lambda m, inp, o, key=name: taps.__setitem__(
+                key, (o[0] if isinstance(o, tuple) else o)
+                .detach().float().numpy()))
+    with torch.no_grad():
+        y = model(hidden_states=torch.tensor(lat),
+                  timestep=torch.tensor(t),
+                  encoder_hidden_states=torch.tensor(text),
+                  return_dict=False)[0]
+    out.update(latents=lat, text=text, timestep=t,
+               output=y.numpy(), **taps)
+    out["num_blocks"] = np.array(n)
+
+
+def dump_wan_vae(ckpt: str, out: dict, seed: int):
+    import torch
+    from diffusers import AutoencoderKLWan
+    vae = AutoencoderKLWan.from_pretrained(
+        ckpt, torch_dtype=torch.float32).eval()
+    x = _seeded((1, 3, 9, 64, 64), seed, 0.5)      # crosses chunk bound
+    z = _seeded((1, vae.config.z_dim, 3, 8, 8), seed + 1)
+    with torch.no_grad():
+        enc = vae.encode(torch.tensor(x)).latent_dist.mode()
+        dec = vae.decode(torch.tensor(z), return_dict=False)[0]
+    out.update(pixels=x, enc_mode=enc.numpy(), latents=z,
+               decoded=dec.numpy())
+
+
+def dump_cog_dit(ckpt: str, out: dict, seed: int):
+    import torch
+    from diffusers import CogVideoXTransformer3DModel
+    model = CogVideoXTransformer3DModel.from_pretrained(
+        ckpt, torch_dtype=torch.float32).eval()
+    cfg = model.config
+    F, H, W = 2, 16, 16
+    lat = _seeded((1, F, cfg.in_channels, H, W), seed)
+    text = _seeded((1, 16, 4096), seed + 1)
+    t = np.array([500], np.int64)
+    with torch.no_grad():
+        y = model(hidden_states=torch.tensor(lat),
+                  encoder_hidden_states=torch.tensor(text),
+                  timestep=torch.tensor(t), return_dict=False)[0]
+    out.update(latents=lat, text=text, timestep=t.astype(np.float32),
+               output=y.numpy())
+
+
+def dump_cog_vae(ckpt: str, out: dict, seed: int):
+    import torch
+    from diffusers import AutoencoderKLCogVideoX
+    vae = AutoencoderKLCogVideoX.from_pretrained(
+        ckpt, torch_dtype=torch.float32).eval()
+    x = _seeded((1, 3, 9, 64, 64), seed, 0.5)
+    z = _seeded((1, vae.config.latent_channels, 3, 8, 8), seed + 1)
+    with torch.no_grad():
+        enc = vae.encode(torch.tensor(x)).latent_dist.mode()
+        dec = vae.decode(torch.tensor(z), return_dict=False)[0]
+    out.update(pixels=x, enc_mode=enc.numpy(), latents=z,
+               decoded=dec.numpy())
+
+
+def dump_scheduler(ckpt: str, out: dict, seed: int,
+                   num_steps: int = 10):
+    """Scheduler tables from the released scheduler_config.json."""
+    with open(os.path.join(ckpt, "scheduler_config.json")) as f:
+        scfg = json.load(f)
+    cls = scfg.get("_class_name", "")
+    out["class_name"] = np.array(cls)
+    import diffusers
+    sched = getattr(diffusers, cls).from_pretrained(ckpt)
+    if "FlowMatch" in cls or "UniPC" in cls:
+        sched.set_timesteps(num_steps)
+        out["timesteps"] = np.asarray(sched.timesteps, np.float64)
+        if hasattr(sched, "sigmas"):
+            out["sigmas"] = np.asarray(sched.sigmas, np.float64)
+    else:   # DDIM/DPM family
+        out["alphas_cumprod"] = np.asarray(sched.alphas_cumprod,
+                                           np.float64)
+        sched.set_timesteps(num_steps)
+        out["timesteps"] = np.asarray(sched.timesteps, np.float64)
+
+
+DUMPERS = {"umt5": dump_umt5, "wan_dit": dump_wan_dit,
+           "wan_vae": dump_wan_vae, "cog_dit": dump_cog_dit,
+           "cog_vae": dump_cog_vae, "scheduler": dump_scheduler}
+
+
+# ---------------------------------------------------------------------------
+# compare — JAX side
+# ---------------------------------------------------------------------------
+
+def _report(name, got, want, atol, rtol):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    if got.shape != want.shape:
+        return [f"FAIL {name}: shape {got.shape} vs {want.shape}"], False
+    err = np.abs(got - want)
+    rel = err / (np.abs(want) + 1e-8)
+    ok = bool((err <= atol + rtol * np.abs(want)).all())
+    return [f"{'PASS' if ok else 'FAIL'} {name}: max_abs={err.max():.3e} "
+            f"max_rel={rel.max():.3e} (atol={atol} rtol={rtol})"], ok
+
+
+def _f32(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(lambda a: a.astype(jnp.float32)
+                        if hasattr(a, "astype") else a, tree)
+
+
+def compare_umt5(ckpt: str, g, tol):
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import t5_encoder
+    from frameino_tpu.models.pretrained import (from_pretrained,
+                                                read_config_json)
+    cfg, params = from_pretrained(ckpt, class_name="UMT5EncoderModel") \
+        if "_class_name" not in read_config_json(ckpt) else \
+        from_pretrained(ckpt)
+    h = t5_encoder.t5_encode(cfg, _f32(params),
+                             jnp.asarray(g["input_ids"]),
+                             jnp.asarray(g["attention_mask"]))
+    return _report("umt5.hidden_states", h, g["hidden_states"], **tol)
+
+
+def compare_wan_dit(ckpt: str, g, tol):
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import wan_dit
+    from frameino_tpu.models.pretrained import wan_dit_config_from_json, \
+        read_config_json
+    from frameino_tpu.models.weights import load_wan_dit_weights
+    cfg = wan_dit_config_from_json(read_config_json(ckpt))
+    params = _f32(load_wan_dit_weights(ckpt, cfg))
+    y = wan_dit.wan_dit_forward(cfg, params, jnp.asarray(g["latents"]),
+                                jnp.asarray(g["timestep"]),
+                                jnp.asarray(g["text"]), attn_impl="xla")
+    lines, ok = _report("wan_dit.output", y, g["output"], **tol)
+    # per-block taps: replay the stacked scan manually to localize
+    # any mismatch on first contact
+    import jax
+    n = int(g["num_blocks"])
+    for name, i in (("block_first", 0), ("block_mid", n // 2),
+                    ("block_last", n - 1)):
+        if name not in g:
+            continue
+        tap = wan_dit_block_tap(cfg, params, g, i)
+        li, oki = _report(f"wan_dit.{name}", tap, g[name], **tol)
+        lines += li
+        ok &= oki
+    return lines, ok
+
+
+def wan_dit_block_tap(cfg, params, g, index: int):
+    """Run blocks 0..index iteratively over the scan-stacked params and
+    return block ``index``'s output tokens (shaped like the reference
+    hook's [B, S, D])."""
+    import jax
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import wan_dit as M
+    from frameino_tpu.ops.rope import wan_rope_table
+    lat = jnp.asarray(g["latents"])
+    B, C, F, H, W = lat.shape
+    pt, ph, pw = cfg.patch_size
+    grid = (F // pt, H // ph, W // pw)
+    cos_np, sin_np = wan_rope_table(cfg.attention_head_dim, *grid,
+                                    max_seq_len=cfg.rope_max_seq_len)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    x = M._patchify_tokens(lat, cfg.patch_size)
+    x = M.dense(x, params["patch_embedding"])
+    ce = params["condition_embedder"]
+    t_freq = M.sinusoidal_timestep_embedding(
+        jnp.asarray(g["timestep"], jnp.float32), cfg.freq_dim)
+    temb = M.timestep_embedding_mlp(t_freq, ce["time_embedder"])
+    tproj = M.dense(M.silu(temb), ce["time_proj"], out_dtype=jnp.float32)
+    tproj = tproj.reshape(x.shape[0], 1, 6, cfg.inner_dim)
+    context = M.pixart_text_projection(jnp.asarray(g["text"]),
+                                       ce["text_embedder"],
+                                       out_dtype=x.dtype)
+    for i in range(index + 1):
+        lp = jax.tree.map(lambda a: a[i], params["blocks"])
+        x = M._block_forward(cfg, lp, x, context, None, tproj, cos, sin,
+                             "xla", False, None)
+    return x
+
+
+def compare_wan_vae(ckpt: str, g, tol):
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import wan_vae
+    from frameino_tpu.models.pretrained import read_config_json, \
+        wan_vae_config_from_json
+    from frameino_tpu.models.weights import load_wan_vae_weights
+    cfg = wan_vae_config_from_json(read_config_json(ckpt))
+    params = _f32(load_wan_vae_weights(ckpt, cfg))
+    mu = wan_vae.encoder_apply(cfg, params["encoder"],
+                               jnp.asarray(g["pixels"]))
+    mu = mu[:, :cfg.z_dim]                       # mode of the diagonal
+    dec = wan_vae.decoder_apply(cfg, params["decoder"],
+                                jnp.asarray(g["latents"]))
+    l1, ok1 = _report("wan_vae.enc_mode", mu, g["enc_mode"], **tol)
+    l2, ok2 = _report("wan_vae.decoded", dec, g["decoded"], **tol)
+    return l1 + l2, ok1 and ok2
+
+
+def compare_cog_dit(ckpt: str, g, tol):
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import cogvideox_dit
+    from frameino_tpu.models.pretrained import (
+        cogvideox_dit_config_from_json, read_config_json)
+    from frameino_tpu.models.weights import load_cogvideox_dit_weights
+    cfg = cogvideox_dit_config_from_json(read_config_json(ckpt))
+    params = _f32(load_cogvideox_dit_weights(ckpt, cfg))
+    F, H, W = (g["latents"].shape[1], g["latents"].shape[3],
+               g["latents"].shape[4])
+    rope = None
+    if cfg.use_rotary_positional_embeddings:
+        rope = tuple(jnp.asarray(r)
+                     for r in cogvideox_dit.cogvideox_rope(cfg, F, H, W))
+    y = cogvideox_dit.cogvideox_forward(
+        cfg, params, jnp.asarray(g["latents"]),
+        jnp.asarray(g["text"]), jnp.asarray(g["timestep"]),
+        image_rotary_emb=rope, attn_impl="xla")
+    return _report("cog_dit.output", y, g["output"], **tol)
+
+
+def compare_cog_vae(ckpt: str, g, tol):
+    import jax.numpy as jnp
+
+    from frameino_tpu.models import cogvideox_vae
+    from frameino_tpu.models.pretrained import (
+        cogvideox_vae_config_from_json, read_config_json)
+    from frameino_tpu.models.weights import load_cogvideox_vae_weights
+    cfg = cogvideox_vae_config_from_json(read_config_json(ckpt))
+    params = _f32(load_cogvideox_vae_weights(ckpt, cfg))
+    mu = cogvideox_vae.encode(cfg, params, jnp.asarray(g["pixels"]),
+                              sample_mode="argmax")
+    dec = cogvideox_vae.decode(cfg, params, jnp.asarray(g["latents"]))
+    l1, ok1 = _report("cog_vae.enc_mode", mu, g["enc_mode"], **tol)
+    l2, ok2 = _report("cog_vae.decoded", dec, g["decoded"], **tol)
+    return l1 + l2, ok1 and ok2
+
+
+def compare_scheduler(ckpt: str, g, tol):
+    cls = str(g["class_name"])
+    lines, ok = [], True
+    if "FlowMatch" in cls:
+        from frameino_tpu.schedulers.flow_match_euler import (
+            FlowMatchEulerConfig, inference_sigmas)
+        with open(os.path.join(ckpt, "scheduler_config.json")) as f:
+            scfg = json.load(f)
+        cfg = FlowMatchEulerConfig(
+            num_train_timesteps=scfg.get("num_train_timesteps", 1000),
+            shift=scfg.get("shift", 1.0))
+        sig, ts = inference_sigmas(cfg, len(np.atleast_1d(
+            g["timesteps"])))
+        lines, ok = _report("scheduler.timesteps", ts, g["timesteps"],
+                            **tol)
+        if "sigmas" in g:
+            l2, ok2 = _report("scheduler.sigmas", sig,
+                              g["sigmas"][:-1], **tol)
+            lines += l2
+            ok &= ok2
+    else:
+        from frameino_tpu.schedulers.ddim import (DDIMConfig,
+                                                  ddim_alphas_cumprod,
+                                                  inference_timesteps)
+        with open(os.path.join(ckpt, "scheduler_config.json")) as f:
+            scfg = json.load(f)
+        cfg = DDIMConfig(**{k: v for k, v in scfg.items()
+                            if k in DDIMConfig.__dataclass_fields__})
+        ac = ddim_alphas_cumprod(cfg)
+        lines, ok = _report("scheduler.alphas_cumprod", ac,
+                            g["alphas_cumprod"], **tol)
+        ts = inference_timesteps(cfg, len(np.atleast_1d(g["timesteps"])))
+        l2, ok2 = _report("scheduler.timesteps", ts, g["timesteps"],
+                          **tol)
+        lines += l2
+        ok &= ok2
+    return lines, ok
+
+
+COMPARERS = {"umt5": compare_umt5, "wan_dit": compare_wan_dit,
+             "wan_vae": compare_wan_vae, "cog_dit": compare_cog_dit,
+             "cog_vae": compare_cog_vae, "scheduler": compare_scheduler}
+
+
+# ---------------------------------------------------------------------------
+# selftest — exercises the contract without diffusers
+# ---------------------------------------------------------------------------
+
+def selftest(tmpdir: str) -> int:
+    """(a) tiny UMT5: save_pretrained -> dump (live transformers) ->
+    compare (JAX) — the real-weights path end to end. (b) Wan/Cog DiT:
+    random JAX params -> diffusers-format safetensors dir -> reload ->
+    bitwise round-trip through the compare plumbing."""
+    import torch
+    from transformers import UMT5Config, UMT5EncoderModel
+    rc = 0
+
+    ck = os.path.join(tmpdir, "umt5")
+    torch.manual_seed(0)
+    hf = UMT5EncoderModel(UMT5Config(
+        vocab_size=128, d_model=16, d_kv=4, num_heads=2, d_ff=32,
+        num_layers=2, feed_forward_proj="gated-gelu")).eval()
+    hf.save_pretrained(ck, safe_serialization=True)
+    g = {}
+    dump_umt5(ck, g, seed=0)
+    np.savez(os.path.join(tmpdir, "umt5_golden.npz"), **g)
+    g = dict(np.load(os.path.join(tmpdir, "umt5_golden.npz")))
+    lines, ok = compare_umt5(ck, g, TOL["umt5"])
+    print("\n".join(lines))
+    rc |= 0 if ok else 1
+
+    # DiT export/reload round-trips
+    import jax
+
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from frameino_tpu.models import cogvideox_dit, wan_dit
+    from frameino_tpu.models.weights import (
+        cogvideox_dit_from_state_dict, cogvideox_dit_to_state_dict,
+        wan_dit_from_state_dict, wan_dit_to_state_dict)
+    for name, mod, to_sd, from_sd in (
+            ("wan_dit", wan_dit, wan_dit_to_state_dict,
+             wan_dit_from_state_dict),
+            ("cog_dit", cogvideox_dit, cogvideox_dit_to_state_dict,
+             cogvideox_dit_from_state_dict)):
+        cfg = mod.tiny_config()
+        params = (mod.init_wan_dit if name == "wan_dit"
+                  else mod.init_cogvideox_dit)(jax.random.key(0), cfg)
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in to_sd(params, cfg).items()}
+        d = os.path.join(tmpdir, name)
+        os.makedirs(d, exist_ok=True)
+        save_file(sd, os.path.join(d, "model.safetensors"))
+        from frameino_tpu.models.weights import load_safetensors_dir
+        back = from_sd(load_safetensors_dir(d), cfg)
+        flat_a = jax.tree.leaves(jax.tree.map(np.asarray, params))
+        flat_b = jax.tree.leaves(jax.tree.map(np.asarray, back))
+        same = all(np.allclose(a, b, atol=1e-6)
+                   for a, b in zip(flat_a, flat_b))
+        print(f"{'PASS' if same else 'FAIL'} {name}: safetensors "
+              f"export->reload round-trip ({len(sd)} tensors)")
+        rc |= 0 if same else 1
+    return rc
+
+
+def _pin_cpu_f32():
+    """Numeric verification must not run on an accelerator's default
+    (reduced) matmul precision — the container's sitecustomize pins the
+    tunneled-TPU platform regardless of JAX_PLATFORMS, so re-pin after
+    import and force fp32 matmuls."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dump")
+    d.add_argument("--model", required=True, choices=sorted(DUMPERS))
+    d.add_argument("--checkpoint", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--seed", type=int, default=0)
+    c = sub.add_parser("compare")
+    c.add_argument("--model", required=True, choices=sorted(COMPARERS))
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--golden", required=True)
+    s = sub.add_parser("selftest")
+    s.add_argument("--tmpdir", default="/tmp/verify_ckpt")
+    args = p.parse_args()
+
+    if args.cmd == "dump":
+        out = {}
+        DUMPERS[args.model](args.checkpoint, out, args.seed)
+        np.savez(args.out, **out)
+        print(f"golden -> {args.out} ({sorted(out)})")
+        return 0
+    if args.cmd == "compare":
+        _pin_cpu_f32()
+        g = dict(np.load(args.golden, allow_pickle=False))
+        lines, ok = COMPARERS[args.model](args.checkpoint, g,
+                                          TOL[args.model])
+        print("\n".join(lines))
+        return 0 if ok else 1
+    _pin_cpu_f32()
+    os.makedirs(args.tmpdir, exist_ok=True)
+    return selftest(args.tmpdir)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

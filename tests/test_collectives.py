@@ -1,0 +1,146 @@
+"""HLO collective audit (VERDICT r2 #6): lower the sharded train and
+denoise steps on the 8-device CPU mesh and assert the collective
+inventory — expected kinds present, no accidental per-layer unrolled
+param gathers (scan-carried collectives are layer-count-invariant), no
+single full-param-tree gather, sp attention produces exactly the
+intended gathers/ppermutes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frameino_tpu.core.meshes import MeshConfig, make_mesh
+from frameino_tpu.parallel.collective_audit import (audit_collectives,
+                                                    format_table)
+
+pytestmark = pytest.mark.slow
+
+
+def _tiny_cfgs(num_layers=2):
+    from frameino_tpu.models import wan_dit, wan_vae
+    vae_cfg = wan_vae.WanVAEConfig(
+        base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+        temperal_downsample=(True,), is_residual=False, patch_size=None,
+        scale_factor_temporal=2, scale_factor_spatial=2,
+        latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+    dit_cfg = wan_dit.WanDiTConfig(
+        num_attention_heads=4, attention_head_dim=24, in_channels=8,
+        out_channels=4, text_dim=32, freq_dim=32, ffn_dim=128,
+        num_layers=num_layers)
+    return dit_cfg, vae_cfg
+
+
+def _compile_train_step(mcfg: MeshConfig, num_layers=2):
+    from frameino_tpu.models import wan_dit, wan_vae
+    from frameino_tpu.training import (OptimizerConfig, TrainerConfig,
+                                       make_optimizer,
+                                       make_sharded_train_state,
+                                       make_train_step)
+    dit_cfg, vae_cfg = _tiny_cfgs(num_layers)
+    dit_params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
+    vae_params = wan_vae.init_wan_vae(jax.random.key(1), vae_cfg)
+    mesh = make_mesh(mcfg, devices=jax.devices()[:8])
+    opt = make_optimizer(OptimizerConfig(lr_warmup_steps=1))
+    tcfg = TrainerConfig(compute_dtype=jnp.float32, remat=True,
+                         attn_impl="xla")
+    B = max(2, mcfg.dp * mcfg.fsdp)
+    ks = jax.random.split(jax.random.key(2), 5)
+    batch = {
+        "video_tensor": jax.random.normal(ks[0], (B, 5, 3, 16, 16)),
+        "first_frame_tensor": jax.random.normal(ks[1], (B, 3, 16, 16)),
+        "traj_tensor": jax.random.normal(ks[2], (B, 5, 3, 16, 16)),
+        "ID_tensor": jax.random.normal(ks[3], (B, 1, 3, 16, 16)),
+        "prompt_embeds": jax.random.normal(ks[4],
+                                           (B, 8, dit_cfg.text_dim)),
+    }
+    with mesh:
+        state = make_sharded_train_state(dit_params, opt, mesh)
+        step = make_train_step(dit_cfg, vae_cfg, tcfg, opt, mesh=mesh,
+                               dp_size=mcfg.dp)
+        compiled = jax.jit(step, donate_argnums=0).lower(
+            state, vae_params, batch, jax.random.key(3)).compile()
+    param_bytes = sum(np.prod(x.shape) * x.dtype.itemsize
+                      for x in jax.tree.leaves(dit_params))
+    max_leaf_bytes = max(np.prod(x.shape) * x.dtype.itemsize
+                        for x in jax.tree.leaves(dit_params))
+    return compiled, param_bytes, max_leaf_bytes
+
+
+def test_train_step_collectives_fsdp_tp():
+    """dp2/fsdp2/tp2: fsdp param gathers + grad reductions present;
+    no single gather moves the whole param tree; no all-to-all."""
+    compiled, param_bytes, max_leaf = _compile_train_step(
+        MeshConfig(dp=2, fsdp=2, tp=2, sp=1))
+    inv = audit_collectives(compiled)
+    print(format_table("train dp2/fsdp2/tp2", inv))
+    assert "all-gather" in inv                   # ZeRO-3 param gathers
+    reductions = (inv.get("all-reduce", {"count": 0})["count"]
+                  + inv.get("reduce-scatter", {"count": 0})["count"])
+    assert reductions >= 1                       # grad sync dp/fsdp/tp
+    assert "all-to-all" not in inv
+    # no accidental whole-tree gather: the largest single collective
+    # must not exceed the largest (scan-stacked) parameter leaf
+    assert inv["all-gather"]["max_single_bytes"] <= max_leaf * 1.01
+    assert inv["all-gather"]["max_single_bytes"] < param_bytes
+
+
+def test_scan_collectives_layer_count_invariant():
+    """The block scan carries its collectives once in the HLO: doubling
+    num_layers must NOT change the all-gather count (catches a scan
+    unrolled into per-layer gathers)."""
+    mcfg = MeshConfig(dp=2, fsdp=2, tp=2, sp=1)
+    c2, _, _ = _compile_train_step(mcfg, num_layers=2)
+    c4, _, _ = _compile_train_step(mcfg, num_layers=4)
+    inv2 = audit_collectives(c2)
+    inv4 = audit_collectives(c4)
+    print(format_table("train 2-layer", inv2))
+    print(format_table("train 4-layer", inv4))
+    assert inv2["all-gather"]["count"] == inv4["all-gather"]["count"]
+
+
+def _compile_denoise(mcfg: MeshConfig, sp_method: str):
+    from frameino_tpu.models import wan_dit
+    dit_cfg, _ = _tiny_cfgs()
+    params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
+    mesh = make_mesh(mcfg, devices=jax.devices()[:8])
+    B, F, H, W = 1, 4, 8, 8
+    x = jnp.zeros((B, dit_cfg.in_channels, F, H, W))
+    t = jnp.full((B,), 500.0)
+    text = jnp.zeros((B, 8, dit_cfg.text_dim))
+
+    import frameino_tpu.ops.attention as A
+    prev = A.DEFAULT_SP_METHOD
+    A.DEFAULT_SP_METHOD = sp_method
+    try:
+        with mesh:
+            fn = jax.jit(lambda p, x, t, c: wan_dit.wan_dit_forward(
+                dit_cfg, p, x, t, c, attn_impl="xla", mesh=mesh))
+            compiled = fn.lower(params, x, t, text).compile()
+    finally:
+        A.DEFAULT_SP_METHOD = prev
+    return compiled
+
+
+def test_sp_attention_collectives():
+    """sp=4 denoise: all-gather-KV method produces gathers and ZERO
+    ppermutes; ring method produces collective-permutes."""
+    mcfg = MeshConfig(dp=1, fsdp=1, tp=1, sp=4)
+    inv_ag = audit_collectives(_compile_denoise(mcfg, "allgather"))
+    print(format_table("denoise sp4 allgather-KV", inv_ag))
+    assert inv_ag.get("all-gather", {"count": 0})["count"] >= 1
+    assert "collective-permute" not in inv_ag
+
+    inv_ring = audit_collectives(_compile_denoise(mcfg, "ring"))
+    print(format_table("denoise sp4 ring", inv_ring))
+    assert inv_ring.get("collective-permute",
+                        {"count": 0})["count"] >= 1
+
+
+def test_single_device_has_no_collectives():
+    """mesh 1x1x1x1: partitioning must insert nothing."""
+    inv = audit_collectives(_compile_denoise(
+        MeshConfig(dp=1, fsdp=1, tp=1, sp=1), "allgather"))
+    print(format_table("denoise single-device", inv))
+    assert not inv

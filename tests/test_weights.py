@@ -275,3 +275,36 @@ class TestCogVAERoundTrip:
         da = cogvideox_vae.decode(cfg, params, z)
         db = cogvideox_vae.decode(cfg, back, z)
         np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-6)
+
+
+def test_exported_state_dicts_survive_safetensors(tmp_path):
+    """safetensors.numpy writes raw buffers WITHOUT honoring strides —
+    a transposed-view leaf silently serializes the untransposed data.
+    Exports must be C-contiguous and round-trip bit-exactly through an
+    actual .safetensors file (regression: r3 contiguity fix)."""
+    import os
+
+    from safetensors.numpy import save_file
+
+    from frameino_tpu.models import cogvideox_dit, wan_dit
+
+    for name, mod, to_sd, from_sd, init in (
+            ("wan", wan_dit, W.wan_dit_to_state_dict,
+             W.wan_dit_from_state_dict, wan_dit.init_wan_dit),
+            ("cog", cogvideox_dit, W.cogvideox_dit_to_state_dict,
+             W.cogvideox_dit_from_state_dict,
+             cogvideox_dit.init_cogvideox_dit)):
+        cfg = mod.tiny_config()
+        params = init(jax.random.key(0), cfg)
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in to_sd(params, cfg).items()}
+        for k, v in sd.items():
+            assert v.flags["C_CONTIGUOUS"], f"{name}:{k} not contiguous"
+        d = tmp_path / name
+        os.makedirs(d, exist_ok=True)
+        save_file(sd, str(d / "model.safetensors"))
+        back = from_sd(W.load_safetensors_dir(str(d)), cfg)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=0)
