@@ -97,12 +97,17 @@ def main():
 
     steps_per_sec, compile_s, times = measure(params)
     int8_sps, int8_compile, _ = measure(params_int8)
+    # headline = the int8 serving path: quality-certified bf16-parity
+    # (scripts/certify_int8.py -> INT8_PARITY.json: metric deltas
+    # <=0.06px Traj / <=4e-6 elsewhere, both families)
     print(json.dumps({
         "metric": "wan22_5b_frameino_denoise_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
-        "unit": ("steps/sec bf16 (CFG pair per step, 49f@480x832, 5590 "
-                 f"tokens; int8-dynamic serving path: {int8_sps:.2f})"),
-        "vs_baseline": round(steps_per_sec / A100_EST_STEPS_PER_SEC, 4),
+        "value": round(int8_sps, 4),
+        "unit": ("steps/sec int8-w8a8 serving path, quality-certified "
+                 "vs bf16 (CFG pair per step, 49f@480x832, 5590 tokens; "
+                 f"bf16: {steps_per_sec:.2f}); vs_baseline is vs an "
+                 "ESTIMATED A100 (reference publishes no timings)"),
+        "vs_baseline": round(int8_sps / A100_EST_STEPS_PER_SEC, 4),
     }))
     print(f"# compile={compile_s:.1f}s times={['%.3f' % t for t in times]} "
           f"int8={int8_sps:.4f} steps/s (compile {int8_compile:.1f}s)",

@@ -233,6 +233,21 @@ def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,
     q = dense(x, p["to_q"])
     k = dense(x, p["to_k"])
     v = dense(x, p["to_v"])
+    # fused-producer flash path (single-chip pallas inference): the qk
+    # RMS-norm + interleaved RoPE run inside the kernel's tile loads,
+    # skipping their [B, S, H*D] HBM round-trips (ops/attention)
+    use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
+                 and (mesh is None or mesh.shape.get("sp", 1) == 1)
+                 and (attn_impl == "pallas"
+                      or (attn_impl is None and attn_ops._on_tpu())))
+    if use_fused:
+        o = attn_ops.fused_qk_flash_attention(
+            q, k, v.reshape(*v.shape[:2], cfg.num_attention_heads,
+                            -1).transpose(0, 2, 1, 3),
+            p["norm_q"]["weight"], p["norm_k"]["weight"], cos, sin,
+            num_heads=cfg.num_attention_heads, eps=eps,
+            interpret=attn_ops.FORCE_INTERPRET)
+        return dense(_merge_heads(o), p["to_out"])
     q = _qk_norm_across_heads(q, p["norm_q"], eps)
     k = _qk_norm_across_heads(k, p["norm_k"], eps)
     q = _split_heads(q, cfg.num_attention_heads)

@@ -126,6 +126,10 @@ def _round_up(x: int, m: int) -> int:
 # without TPU hardware (tests/test_sp_integration.py).
 FORCE_INTERPRET = False
 
+# Escape hatch for the fused-producer self-attention path (in-kernel
+# qk-norm + RoPE); see fused_qk_flash_attention.
+FUSED_QK_PRODUCERS = True
+
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_k",
@@ -189,6 +193,192 @@ def flash_attention_inference(q, k, v, scale: Optional[float] = None,
     return _flash_fwd(q, k, v, scale=float(scale),
                       block_q=block_q, block_k=block_k,
                       interpret=FORCE_INTERPRET)
+
+
+# ---------------------------------------------------------------------------
+# Fused-producer forward kernel: qk RMS-norm + interleaved RoPE fused
+# into the q/k tile loads (VERDICT r2 #2)
+# ---------------------------------------------------------------------------
+#
+# The Wan self-attention producer chain (dense -> rms_norm across heads
+# -> interleaved RoPE, reference architecture/transformer_wan.py:75-87)
+# costs several full HBM round-trips of the [B, S, H*D] q/k tensors per
+# block. Here the norm (per-token rsqrt statistic precomputed by a cheap
+# XLA reduce fused into the dense epilogue) and the RoPE rotation are
+# applied INSIDE the flash kernel on tile load:
+#   - q tiles are processed once per (bh, q_block) into a VMEM scratch;
+#   - k tiles are re-processed per q block (VPU cost, measured);
+#   - the interleaved pair swap is two lane-rolls + a parity select —
+#     no layout permutation, no strided lane access;
+#   - softmax scale * log2(e) is folded into q's cos/sin tables.
+# Numerics match the unfused path: norm math fp32 -> bf16 cast (the
+# reference RMSNorm returns x.dtype), rope fp32 -> bf16 for the MXU dot.
+
+
+def _pairswap_lanes(x):
+    """[..., 2i] <-> [..., 2i+1] (interleaved RoPE partner lanes)."""
+    n = x.shape[-1]
+    left = pltpu.roll(x, shift=n - 1, axis=x.ndim - 1)   # == shift -1
+    right = pltpu.roll(x, shift=1, axis=x.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane % 2 == 0, left, right)
+
+
+def _norm_rope_tile(raw, rstd, w, c2, s2, out_dtype):
+    """raw [blk, D] bf16; rstd [blk]; w [D]; c2/s2 [blk, D] fp32."""
+    f = raw.astype(jnp.float32) * rstd[:, None] * w[None, :]
+    f = f.astype(out_dtype).astype(jnp.float32)   # RMSNorm returns x.dtype
+    return (f * c2 + _pairswap_lanes(f) * s2).astype(out_dtype)
+
+
+def _flash_fused_kernel(q_ref, k_ref, v_ref, rq_ref, rk_ref, wq_ref,
+                        wk_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
+                        m_ref, l_ref, acc_ref, qp_ref, *,
+                        block_k: int, kv_len: int, masked: bool):
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        qp_ref[...] = _norm_rope_tile(q_ref[0], rq_ref[0], wq_ref[0],
+                                      cq_ref[...], sq_ref[...],
+                                      qp_ref.dtype)
+
+    kp = _norm_rope_tile(k_ref[0], rk_ref[0], wk_ref[0], ck_ref[...],
+                         sk_ref[...], k_ref.dtype)
+    s = jax.lax.dot_general(
+        qp_ref[...], kp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + k_idx * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
+    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = alpha * acc_ref[...] + pv
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def _rope_expand(cos, sin, gain: float = 1.0):
+    """[S, D/2] pair tables -> interleaved-lane [S, D] C2/S2 with
+    C2 = [c0,c0,c1,c1,...], S2 = [-s0,+s0,-s1,+s1,...] (times gain)."""
+    c2 = jnp.repeat(cos * gain, 2, axis=-1)
+    sg = sin * gain
+    s2 = jnp.stack([-sg, sg], axis=-1).reshape(sg.shape[0], -1)
+    return c2.astype(jnp.float32), s2.astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "eps", "scale",
+                                    "block_q", "block_k", "interpret"))
+def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
+                             num_heads: int, eps: float,
+                             scale: Optional[float] = None,
+                             block_q: int = 512, block_k: int = 1024,
+                             interpret: bool = False):
+    """Flash attention with the qk-norm + interleaved-RoPE producers
+    fused into the kernel.
+
+    q_raw/k_raw: [B, S, H*D] straight out of the to_q/to_k denses
+    (pre-norm, pre-rope). v: [B, H, S, D]. w_q/w_k: [H*D] RMSNorm
+    gains. cos/sin: [S, D/2] rope pair tables. Returns [B, H, S, D].
+    """
+    B, S, HD = q_raw.shape
+    D = HD // num_heads
+    scale = scale if scale is not None else _default_scale(D)
+
+    # per-token across-heads RMS statistic (cheap XLA reduce; fuses
+    # into the producing dense's epilogue)
+    def rstd(x):
+        ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1)
+        return jax.lax.rsqrt(ms + eps)                   # [B, S]
+
+    rstd_q, rstd_k = rstd(q_raw), rstd(k_raw)
+
+    def heads(x):
+        return x.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3) \
+                .reshape(B * num_heads, S, D)
+
+    qh, kh = heads(q_raw), heads(k_raw)
+    vh = v.reshape(B * num_heads, S, D)
+
+    sp = _round_up(S, block_q)
+    skp = _round_up(S, block_k)
+    pad_q = sp - S
+    pad_k = skp - S
+    if pad_q:
+        qh = jnp.pad(qh, ((0, 0), (0, pad_q), (0, 0)))
+        rstd_q = jnp.pad(rstd_q, ((0, 0), (0, pad_q)))
+    if pad_k:
+        kh = jnp.pad(kh, ((0, 0), (0, pad_k), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, pad_k), (0, 0)))
+        rstd_k = jnp.pad(rstd_k, ((0, 0), (0, pad_k)))
+
+    cq2, sq2 = _rope_expand(cos, sin, gain=scale * _LOG2E)
+    ck2, sk2 = _rope_expand(cos, sin)
+    if pad_q:
+        cq2 = jnp.pad(cq2, ((0, pad_q), (0, 0)))
+        sq2 = jnp.pad(sq2, ((0, pad_q), (0, 0)))
+    if pad_k:
+        ck2 = jnp.pad(ck2, ((0, pad_k), (0, 0)))
+        sk2 = jnp.pad(sk2, ((0, pad_k), (0, 0)))
+
+    wq2 = w_q.reshape(num_heads, D).astype(jnp.float32)
+    wk2 = w_k.reshape(num_heads, D).astype(jnp.float32)
+
+    H = num_heads
+    grid = (B * H, sp // block_q, skp // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_fused_kernel, block_k=block_k,
+                          kv_len=S, masked=skp != S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b // H, i)),
+            pl.BlockSpec((1, block_k), lambda b, i, j: (b // H, j)),
+            pl.BlockSpec((1, D), lambda b, i, j: (b % H, 0)),
+            pl.BlockSpec((1, D), lambda b, i, j: (b % H, 0)),
+            pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
+            pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
+            pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0)),
+            pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, D), q_raw.dtype),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B * H, sp, D), q_raw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, rstd_q, rstd_k, wq2, wk2, cq2, sq2, ck2, sk2)
+    out = out.reshape(B, H, sp, D)
+    if pad_q:
+        out = out[:, :, :S]
+    return out
 
 
 # ---------------------------------------------------------------------------

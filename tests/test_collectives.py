@@ -104,7 +104,8 @@ def _compile_denoise(mcfg: MeshConfig, sp_method: str):
     from frameino_tpu.models import wan_dit
     dit_cfg, _ = _tiny_cfgs()
     params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
-    mesh = make_mesh(mcfg, devices=jax.devices()[:8])
+    n = mcfg.dp * mcfg.fsdp * mcfg.tp * mcfg.sp
+    mesh = make_mesh(mcfg, devices=jax.devices()[:n])
     B, F, H, W = 1, 4, 8, 8
     x = jnp.zeros((B, dit_cfg.in_channels, F, H, W))
     t = jnp.full((B,), 500.0)

@@ -127,3 +127,46 @@ def test_ring_attention_grads_match():
     for a, b in zip(g_ref, g_ring):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("S", [256, 300])
+def test_fused_qk_flash_matches_unfused(S):
+    """Fused-producer kernel (in-kernel rms-norm + interleaved rope via
+    lane pair-swap) == the unfused producer chain + plain flash kernel,
+    including a non-block-multiple tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from frameino_tpu.ops import rope as rope_ops
+    from frameino_tpu.ops.attention import fused_qk_flash_attention
+    from frameino_tpu.ops.norms import rms_norm
+
+    B, H, D = 2, 3, 32
+    eps = 1e-6
+    rs = np.random.RandomState(0)
+    q_raw = jnp.asarray(rs.randn(B, S, H * D), jnp.bfloat16)
+    k_raw = jnp.asarray(rs.randn(B, S, H * D), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(B, H, S, D), jnp.bfloat16)
+    w_q = jnp.asarray(1.0 + 0.1 * rs.randn(H * D), jnp.float32)
+    w_k = jnp.asarray(1.0 + 0.1 * rs.randn(H * D), jnp.float32)
+    ang = rs.randn(S, D // 2).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+
+    def split(x):
+        return x.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+    qn = split(rms_norm(q_raw, w_q, eps=eps))
+    kn = split(rms_norm(k_raw, w_k, eps=eps))
+    qn = rope_ops.apply_rope_interleaved(qn, cos, sin)
+    kn = rope_ops.apply_rope_interleaved(kn, cos, sin)
+    from frameino_tpu.ops.attention import attention_xla
+    ref = attention_xla(qn, kn, v)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_qk_flash_attention(
+            q_raw, k_raw, v, w_q, w_k, cos, sin, num_heads=H, eps=eps,
+            block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)

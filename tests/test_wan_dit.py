@@ -154,3 +154,26 @@ def test_timestep_mask_two_level_equivalence():
                                    timestep_mask=mask)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_producer_attention_matches_unfused():
+    """wan_dit forward with the fused-producer pallas path (in-kernel
+    qk-norm + RoPE, interpret mode) == the unfused XLA path."""
+    from frameino_tpu.models import wan_dit
+    from frameino_tpu.ops import attention as attn_ops
+    cfg = wan_dit.tiny_config()
+    params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1),
+                          (1, cfg.in_channels, 2, 8, 8), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    text = jax.random.normal(jax.random.key(2), (1, 8, cfg.text_dim))
+    ref = wan_dit.wan_dit_forward(cfg, params, x, t, text,
+                                  attn_impl="xla")
+    attn_ops.FORCE_INTERPRET = True
+    try:
+        fused = wan_dit.wan_dit_forward(cfg, params, x, t, text,
+                                        attn_impl="pallas")
+    finally:
+        attn_ops.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
