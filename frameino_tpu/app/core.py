@@ -49,6 +49,19 @@ class CanvasSpec:
                 self.offset_y + self.image_height > self.canvas_height:
             raise ValueError("image placement exceeds canvas bounds")
 
+    @staticmethod
+    def round_dims(height: int, width: int) -> Tuple[int, int, str]:
+        """x32 auto-rounding hint (the reference hard-errors,
+        ``app.py:323-326``; here the UI rounds up and tells the user).
+        Returns (h32, w32, hint-or-empty)."""
+        h32 = max(32, (int(height) + 31) // 32 * 32)
+        w32 = max(32, (int(width) + 31) // 32 * 32)
+        hint = ""
+        if (h32, w32) != (int(height), int(width)):
+            hint = (f"canvas dims must be multiples of 32 — rounded "
+                    f"{int(height)}x{int(width)} up to {h32}x{w32}")
+        return h32, w32, hint
+
 
 def build_canvas(image: np.ndarray, spec: CanvasSpec
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -114,13 +127,20 @@ def crop_padding(video: np.ndarray, spec: CanvasSpec) -> np.ndarray:
 
 def visualize_trajectories(canvas: np.ndarray,
                            polylines: Sequence[Sequence[Tuple[float, float]]],
-                           dot_radius: int = 5) -> np.ndarray:
+                           dot_radius: int = 5,
+                           object_ids: Optional[Sequence[int]] = None
+                           ) -> np.ndarray:
     """Realtime trajectory preview (reference ``fn_vis_realtime_traj``,
     ``app.py:401-422``): per-object colored polylines with a filled dot
-    at every click and an arrowhead at the last segment."""
+    at every click and an arrowhead at the last segment. ``object_ids``
+    maps each polyline to its object (multiple lines per object share
+    one color, reference ``traj_point_update``); defaults to one object
+    per line."""
     from frameino_tpu.data.traj import ALL_COLOR_CODES
     out = canvas.copy()
-    for obj_idx, line in enumerate(polylines):
+    for line_idx, line in enumerate(polylines):
+        obj_idx = (object_ids[line_idx] if object_ids is not None
+                   else line_idx)
         color = tuple(int(c) for c in
                       ALL_COLOR_CODES[obj_idx % len(ALL_COLOR_CODES)])
         pts = [(int(x), int(y)) for (x, y) in line]
@@ -132,6 +152,21 @@ def visualize_trajectories(canvas: np.ndarray,
             cv2.arrowedLine(out, pts[-2], pts[-1], color, 2,
                             tipLength=0.5)
     return out
+
+
+def color_legend_html(num_objects: int) -> str:
+    """Per-object color legend (swatch + label) for the UI."""
+    from frameino_tpu.data.traj import ALL_COLOR_CODES
+    rows = []
+    for i in range(num_objects):
+        r, g, b = ALL_COLOR_CODES[i % len(ALL_COLOR_CODES)]
+        rows.append(
+            f'<span style="display:inline-flex;align-items:center;'
+            f'margin-right:12px"><span style="width:14px;height:14px;'
+            f'background:rgb({r},{g},{b});display:inline-block;'
+            f'margin-right:4px;border:1px solid #888"></span>'
+            f'object {i + 1}</span>')
+    return "<div>" + "".join(rows) + "</div>" if rows else ""
 
 
 def segment_at_point(image: np.ndarray, segmenter: Callable,
@@ -169,20 +204,47 @@ class InteractiveSession:
         self.spec: Optional[CanvasSpec] = None
         self.inference_canvas: Optional[np.ndarray] = None
         self.polylines: List[List[Tuple[float, float]]] = []
+        # object index per polyline (reference data model: instances ->
+        # trajectory lines -> points, ``app.py:424-486``)
+        self.line_obj: List[int] = []
+
+    @property
+    def num_objects(self) -> int:
+        return (max(self.line_obj) + 1) if self.line_obj else 0
 
     def set_canvas(self, image: np.ndarray, spec: CanvasSpec):
         self.spec = spec
         self.inference_canvas, visual = build_canvas(image, spec)
-        self.polylines = []
+        self.clear_traj_points()
         return visual
 
     def add_traj_point(self, x: float, y: float, new_object: bool = False):
         if new_object or not self.polylines:
-            self.polylines.append([])
+            self.new_object()
         self.polylines[-1].append((x, y))
+
+    def new_object(self):
+        """Start a new object instance (reference
+        ``traj_instance_update``: errors past the color-code limit)."""
+        from frameino_tpu.data.traj import ALL_COLOR_CODES
+        if self.num_objects >= len(ALL_COLOR_CODES):
+            raise ValueError("trajectory instance number is over the "
+                             f"limit ({len(ALL_COLOR_CODES)})")
+        self.polylines.append([])
+        self.line_obj.append(self.num_objects)
+
+    def new_line(self):
+        """Start another trajectory line for the CURRENT object
+        (reference ``traj_point_update``: e.g. several limbs of one
+        person moving together)."""
+        if not self.polylines:
+            return self.new_object()
+        self.polylines.append([])
+        self.line_obj.append(self.line_obj[-1])
 
     def clear_traj_points(self):
         self.polylines = []
+        self.line_obj = []
 
     def run(self, prompt_embeds, negative_prompt_embeds=None,
             id_image: Optional[np.ndarray] = None,

@@ -243,12 +243,12 @@ def _flash_fused_kernel(q_ref, k_ref, v_ref, rq_ref, rk_ref, wq_ref,
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        qp_ref[...] = _norm_rope_tile(q_ref[0], rq_ref[0], wq_ref[0],
-                                      cq_ref[...], sq_ref[...],
-                                      qp_ref.dtype)
+        qp_ref[...] = _norm_rope_tile(q_ref[0], rq_ref[0, 0],
+                                      wq_ref[0, 0], cq_ref[...],
+                                      sq_ref[...], qp_ref.dtype)
 
-    kp = _norm_rope_tile(k_ref[0], rk_ref[0], wk_ref[0], ck_ref[...],
-                         sk_ref[...], k_ref.dtype)
+    kp = _norm_rope_tile(k_ref[0], rk_ref[0, 0], wk_ref[0, 0],
+                         ck_ref[...], sk_ref[...], k_ref.dtype)
     s = jax.lax.dot_general(
         qp_ref[...], kp, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -340,8 +340,12 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
         ck2 = jnp.pad(ck2, ((0, pad_k), (0, 0)))
         sk2 = jnp.pad(sk2, ((0, pad_k), (0, 0)))
 
-    wq2 = w_q.reshape(num_heads, D).astype(jnp.float32)
-    wk2 = w_k.reshape(num_heads, D).astype(jnp.float32)
+    wq2 = w_q.reshape(num_heads, 1, D).astype(jnp.float32)
+    wk2 = w_k.reshape(num_heads, 1, D).astype(jnp.float32)
+    # unit middle dims keep the trailing block dims equal to the array
+    # dims (the TPU lowering's (8,128)-or-full divisibility rule)
+    rstd_q = rstd_q[:, None]
+    rstd_k = rstd_k[:, None]
 
     H = num_heads
     grid = (B * H, sp // block_q, skp // block_k)
@@ -353,10 +357,10 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b // H, i)),
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b // H, j)),
-            pl.BlockSpec((1, D), lambda b, i, j: (b % H, 0)),
-            pl.BlockSpec((1, D), lambda b, i, j: (b % H, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b // H, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),
+            pl.BlockSpec((1, 1, D), lambda b, i, j: (b % H, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, i, j: (b % H, 0, 0)),
             pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
             pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
             pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0)),
