@@ -133,15 +133,18 @@ FUSED_QK_PRODUCERS = True
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_k",
-                                    "interpret"))
-def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int,
-               interpret: bool = False):
+                                    "kv_len", "prescaled", "interpret"))
+def _flash_fwd(q, k, v, *, scale: Optional[float], block_q: int,
+               block_k: int, kv_len: Optional[int] = None,
+               prescaled: bool = False, interpret: bool = False):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    kv_len = Skv if kv_len is None else kv_len
     sq_p = _round_up(Sq, block_q)
     skv_p = _round_up(Skv, block_k)
-    # fold softmax scale + log2(e) into q once (exp2-domain softmax)
-    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    if not prescaled:
+        # fold softmax scale + log2(e) into q once (exp2-domain softmax)
+        q = q * jnp.asarray(scale * _LOG2E, q.dtype)
     if sq_p != Sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
     if skv_p != Skv:
@@ -155,8 +158,8 @@ def _flash_fwd(q, k, v, *, scale: float, block_q: int, block_k: int,
 
     grid = (bh, sq_p // block_q, skv_p // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=block_k, kv_len=Skv,
-                          masked=skv_p != Skv),
+        functools.partial(_flash_fwd_kernel, block_k=block_k,
+                          kv_len=kv_len, masked=skv_p != kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -231,49 +234,46 @@ def _norm_rope_tile(raw, rstd, w, c2, s2, out_dtype):
     return (f * c2 + _pairswap_lanes(f) * s2).astype(out_dtype)
 
 
-def _flash_fused_kernel(q_ref, k_ref, v_ref, rq_ref, rk_ref, wq_ref,
-                        wk_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref,
-                        m_ref, l_ref, acc_ref, qp_ref, *,
-                        block_k: int, kv_len: int, masked: bool):
-    k_idx = pl.program_id(2)
-    num_k = pl.num_programs(2)
+def _qk_producer_kernel(raw_ref, rstd_ref, w_ref, c2_ref, s2_ref,
+                        out_ref):
+    """One (batch, s_block, head) cell: apply across-heads RMS-norm
+    (precomputed per-token rstd) + interleaved RoPE to a [block_s, D]
+    head slice, writing the [B*H, S, D] attention layout directly (the
+    split_heads transpose rides along for free)."""
+    out_ref[0] = _norm_rope_tile(raw_ref[0], rstd_ref[0, 0],
+                                 w_ref[0, 0], c2_ref[...], s2_ref[...],
+                                 out_ref.dtype)
 
-    @pl.when(k_idx == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        qp_ref[...] = _norm_rope_tile(q_ref[0], rq_ref[0, 0],
-                                      wq_ref[0, 0], cq_ref[...],
-                                      sq_ref[...], qp_ref.dtype)
 
-    kp = _norm_rope_tile(k_ref[0], rk_ref[0, 0], wk_ref[0, 0],
-                         ck_ref[...], sk_ref[...], k_ref.dtype)
-    s = jax.lax.dot_general(
-        qp_ref[...], kp, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _qk_producer(raw, rstd, w2, c2, s2, *, num_heads: int,
+                 block_s: int, interpret: bool):
+    """raw [B, S_pad, H*D] -> normed+roped [B*H, S_pad, D].
 
-    if masked:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + k_idx * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-
-    m_prev = m_ref[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next)
-    l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[...] = m_next
-
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_ref[...] = alpha * acc_ref[...] + pv
-
-    @pl.when(k_idx == num_k - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+    Grid order keeps the head index innermost so the (s-indexed) rope
+    tables' block index is unchanged across consecutive cells — Pallas
+    skips the re-DMA, so tables are fetched once per s block."""
+    B, S, HD = raw.shape
+    D = HD // num_heads
+    H = num_heads
+    grid = (B, S // block_s, H)
+    return pl.pallas_call(
+        _qk_producer_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_s, D), lambda b, s, h: (b, s, h)),
+            pl.BlockSpec((1, 1, block_s), lambda b, s, h: (b, 0, s)),
+            pl.BlockSpec((1, 1, D), lambda b, s, h: (h, 0, 0)),
+            pl.BlockSpec((block_s, D), lambda b, s, h: (s, 0)),
+            pl.BlockSpec((block_s, D), lambda b, s, h: (s, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_s, D),
+                               lambda b, s, h: (b * H + h, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), raw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(raw, rstd, w2, c2, s2)
 
 
 def _rope_expand(cos, sin, gain: float = 1.0):
@@ -302,85 +302,49 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
     """
     B, S, HD = q_raw.shape
     D = HD // num_heads
+    H = num_heads
     scale = scale if scale is not None else _default_scale(D)
 
     # per-token across-heads RMS statistic (cheap XLA reduce; fuses
     # into the producing dense's epilogue)
     def rstd(x):
         ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1)
-        return jax.lax.rsqrt(ms + eps)                   # [B, S]
+        return jax.lax.rsqrt(ms + eps)[:, None]          # [B, 1, S]
 
+    block_s = min(512, _round_up(S, 128))
+    sp = _round_up(S, block_s)
+    pad = sp - S
     rstd_q, rstd_k = rstd(q_raw), rstd(k_raw)
-
-    def heads(x):
-        return x.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3) \
-                .reshape(B * num_heads, S, D)
-
-    qh, kh = heads(q_raw), heads(k_raw)
-    vh = v.reshape(B * num_heads, S, D)
-
-    sp = _round_up(S, block_q)
-    skp = _round_up(S, block_k)
-    pad_q = sp - S
-    pad_k = skp - S
-    if pad_q:
-        qh = jnp.pad(qh, ((0, 0), (0, pad_q), (0, 0)))
-        rstd_q = jnp.pad(rstd_q, ((0, 0), (0, pad_q)))
-    if pad_k:
-        kh = jnp.pad(kh, ((0, 0), (0, pad_k), (0, 0)))
-        vh = jnp.pad(vh, ((0, 0), (0, pad_k), (0, 0)))
-        rstd_k = jnp.pad(rstd_k, ((0, 0), (0, pad_k)))
-
+    # softmax scale * log2(e) folds into q's rope tables
     cq2, sq2 = _rope_expand(cos, sin, gain=scale * _LOG2E)
     ck2, sk2 = _rope_expand(cos, sin)
-    if pad_q:
-        cq2 = jnp.pad(cq2, ((0, pad_q), (0, 0)))
-        sq2 = jnp.pad(sq2, ((0, pad_q), (0, 0)))
-    if pad_k:
-        ck2 = jnp.pad(ck2, ((0, pad_k), (0, 0)))
-        sk2 = jnp.pad(sk2, ((0, pad_k), (0, 0)))
+    if pad:
+        q_raw = jnp.pad(q_raw, ((0, 0), (0, pad), (0, 0)))
+        k_raw = jnp.pad(k_raw, ((0, 0), (0, pad), (0, 0)))
+        rstd_q = jnp.pad(rstd_q, ((0, 0), (0, 0), (0, pad)))
+        rstd_k = jnp.pad(rstd_k, ((0, 0), (0, 0), (0, pad)))
+        cq2 = jnp.pad(cq2, ((0, pad), (0, 0)))
+        sq2 = jnp.pad(sq2, ((0, pad), (0, 0)))
+        ck2 = jnp.pad(ck2, ((0, pad), (0, 0)))
+        sk2 = jnp.pad(sk2, ((0, pad), (0, 0)))
+    wq2 = w_q.reshape(H, 1, D).astype(jnp.float32)
+    wk2 = w_k.reshape(H, 1, D).astype(jnp.float32)
 
-    wq2 = w_q.reshape(num_heads, 1, D).astype(jnp.float32)
-    wk2 = w_k.reshape(num_heads, 1, D).astype(jnp.float32)
-    # unit middle dims keep the trailing block dims equal to the array
-    # dims (the TPU lowering's (8,128)-or-full divisibility rule)
-    rstd_q = rstd_q[:, None]
-    rstd_k = rstd_k[:, None]
+    qh = _qk_producer(q_raw, rstd_q, wq2, cq2, sq2, num_heads=H,
+                      block_s=block_s, interpret=interpret)
+    kh = _qk_producer(k_raw, rstd_k, wk2, ck2, sk2, num_heads=H,
+                      block_s=block_s, interpret=interpret)
+    vh = v
+    if pad:
+        vh = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
-    H = num_heads
-    grid = (B * H, sp // block_q, skp // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_fused_kernel, block_k=block_k,
-                          kv_len=S, masked=skp != S),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b // H, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),
-            pl.BlockSpec((1, 1, D), lambda b, i, j: (b % H, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda b, i, j: (b % H, 0, 0)),
-            pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
-            pl.BlockSpec((block_q, D), lambda b, i, j: (i, 0)),
-            pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0)),
-            pl.BlockSpec((block_k, D), lambda b, i, j: (j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, D), q_raw.dtype),
-        ],
-        out_shape=jax.ShapeDtypeStruct((B * H, sp, D), q_raw.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qh, kh, vh, rstd_q, rstd_k, wq2, wk2, cq2, sq2, ck2, sk2)
-    out = out.reshape(B, H, sp, D)
-    if pad_q:
+    # main flash kernel on the pre-processed tensors; q is already
+    # scaled, padded k columns masked via the true kv_len
+    out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
+                     vh, scale=None, block_q=min(block_q, sp),
+                     block_k=min(block_k, sp), kv_len=S, prescaled=True,
+                     interpret=interpret)
+    if pad:
         out = out[:, :, :S]
     return out
 
