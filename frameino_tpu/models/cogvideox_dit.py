@@ -290,6 +290,33 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
         return layer_norm(t, np_["weight"], np_["bias"],
                           eps=cfg.qk_norm_eps).astype(t.dtype)
 
+    # fused-producer flash path (single-chip pallas inference): per-head
+    # LayerNorm + joint-sequence RoPE run inside Pallas producer passes
+    # (ops/attention.fused_ln_qk_flash_attention)
+    use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
+                 and cos is not None and p.get("norm_q") is not None
+                 and (mesh is None or mesh.shape.get("sp", 1) == 1)
+                 and (attn_impl == "pallas"
+                      or (attn_impl is None and attn_ops._on_tpu())))
+    if use_fused:
+        q_raw = dense(x, p["to_q"])
+        k_raw = dense(x, p["to_k"])
+        v_h = dense(x, p["to_v"]).reshape(B, S, nh, hd).transpose(
+            0, 2, 1, 3)
+        cos_j = jnp.concatenate(
+            [jnp.ones((L, cos.shape[-1]), cos.dtype), cos], axis=0)
+        sin_j = jnp.concatenate(
+            [jnp.zeros((L, sin.shape[-1]), sin.dtype), sin], axis=0)
+        o = attn_ops.fused_ln_qk_flash_attention(
+            q_raw, k_raw, v_h,
+            p["norm_q"]["weight"], p["norm_q"]["bias"],
+            p["norm_k"]["weight"], p["norm_k"]["bias"], cos_j, sin_j,
+            num_heads=nh, head_dim=hd, eps=cfg.qk_norm_eps,
+            interpret=attn_ops.FORCE_INTERPRET)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+        o = dense(o, p["to_out"])
+        return o[:, L:], o[:, :L]
+
     q = dense(x, p["to_q"]).reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     k = dense(x, p["to_k"]).reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     v = dense(x, p["to_v"]).reshape(B, S, nh, hd).transpose(0, 2, 1, 3)

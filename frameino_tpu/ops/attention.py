@@ -350,6 +350,112 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
 
 
 # ---------------------------------------------------------------------------
+# Fused producer, CogVideoX variant: per-head LayerNorm + joint-sequence
+# RoPE (identity rotation over the text prefix)
+# ---------------------------------------------------------------------------
+
+def _qk_producer_ln_kernel(raw_ref, w_ref, b_ref, c2_ref, s2_ref,
+                           out_ref, *, eps: float, head_dim: int,
+                           heads_per_block: int):
+    """One (batch, s_block, head_group) cell: per-head LayerNorm (stats
+    over each head's lanes, shared [head_dim] gamma/beta — diffusers
+    Attention qk_norm='layer_norm') + interleaved RoPE, written in the
+    [B*H, S, head_dim] attention layout."""
+    x = raw_ref[0].astype(jnp.float32)       # [bs, head_dim * hpb]
+    w = w_ref[0, 0][None, :]
+    b = b_ref[0, 0][None, :]
+    for i in range(heads_per_block):
+        h = x[:, i * head_dim:(i + 1) * head_dim]
+        mu = h.mean(-1, keepdims=True)
+        var = ((h - mu) ** 2).mean(-1, keepdims=True)
+        n = (h - mu) * jax.lax.rsqrt(var + eps) * w + b
+        n = n.astype(out_ref.dtype).astype(jnp.float32)
+        out_ref[i] = (n * c2_ref[...]
+                      + _pairswap_lanes(n) * s2_ref[...]
+                      ).astype(out_ref.dtype)
+
+
+def _qk_producer_ln(raw, w, b, c2, s2, *, num_heads: int, head_dim: int,
+                    eps: float, block_s: int, interpret: bool):
+    """raw [B, S_pad, H*hd] -> normed+roped [B*H, S_pad, hd]."""
+    B, S, HD = raw.shape
+    H = num_heads
+    hpb = max(1, min(128 // head_dim, H))
+    grid = (B, S // block_s, H // hpb)
+    return pl.pallas_call(
+        functools.partial(_qk_producer_ln_kernel, eps=eps,
+                          head_dim=head_dim, heads_per_block=hpb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_s, head_dim * hpb),
+                         lambda b_, s, h: (b_, s, h)),
+            pl.BlockSpec((1, 1, head_dim), lambda b_, s, h: (0, 0, 0)),
+            pl.BlockSpec((1, 1, head_dim), lambda b_, s, h: (0, 0, 0)),
+            pl.BlockSpec((block_s, head_dim), lambda b_, s, h: (s, 0)),
+            pl.BlockSpec((block_s, head_dim), lambda b_, s, h: (s, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (hpb, block_s, head_dim),
+            lambda b_, s, h: (b_ * (H // hpb) + h, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, head_dim), raw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(raw, w.reshape(1, 1, head_dim).astype(jnp.float32),
+      b.reshape(1, 1, head_dim).astype(jnp.float32), c2, s2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "head_dim", "eps",
+                                    "scale", "block_q", "block_k",
+                                    "interpret"))
+def fused_ln_qk_flash_attention(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
+                                cos, sin, *, num_heads: int,
+                                head_dim: int, eps: float,
+                                scale: Optional[float] = None,
+                                block_q: int = 512, block_k: int = 1024,
+                                interpret: bool = False):
+    """CogVideoX joint self-attention with the per-head-LayerNorm +
+    RoPE producers fused into Pallas passes (the wan variant's
+    layer-norm sibling; reference attention_processor.py:2805-2877).
+
+    q_raw/k_raw: [B, S, H*hd] (pre-norm, pre-rope); v: [B, H, S, hd];
+    w/b: [hd] LayerNorm params; cos/sin: [S, hd/2] JOINT-sequence rope
+    tables (identity rows over the text prefix). Returns [B, H, S, hd].
+    """
+    B, S, HD = q_raw.shape
+    H, D = num_heads, head_dim
+    scale = scale if scale is not None else _default_scale(D)
+    block_s = min(512, _round_up(S, 128))
+    sp = _round_up(S, block_s)
+    pad = sp - S
+    cq2, sq2 = _rope_expand(cos, sin, gain=scale * _LOG2E)
+    ck2, sk2 = _rope_expand(cos, sin)
+    if pad:
+        q_raw = jnp.pad(q_raw, ((0, 0), (0, pad), (0, 0)))
+        k_raw = jnp.pad(k_raw, ((0, 0), (0, pad), (0, 0)))
+        cq2 = jnp.pad(cq2, ((0, pad), (0, 0)))
+        sq2 = jnp.pad(sq2, ((0, pad), (0, 0)))
+        ck2 = jnp.pad(ck2, ((0, pad), (0, 0)))
+        sk2 = jnp.pad(sk2, ((0, pad), (0, 0)))
+    qh = _qk_producer_ln(q_raw, w_q, b_q, cq2, sq2, num_heads=H,
+                         head_dim=D, eps=eps, block_s=block_s,
+                         interpret=interpret)
+    kh = _qk_producer_ln(k_raw, w_k, b_k, ck2, sk2, num_heads=H,
+                         head_dim=D, eps=eps, block_s=block_s,
+                         interpret=interpret)
+    vh = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else v
+    out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
+                     vh, scale=None, block_q=min(block_q, sp),
+                     block_k=min(block_k, sp), kv_len=S, prescaled=True,
+                     interpret=interpret)
+    if pad:
+        out = out[:, :, :S]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Differentiable path: bundled Pallas flash attention + padding wrapper
 # ---------------------------------------------------------------------------
 

@@ -115,3 +115,30 @@ class TestForward:
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree.leaves(g))
         assert float(jnp.abs(g["blocks"]["attn1"]["to_q"]["kernel"]).sum()) > 0
+
+
+def test_fused_ln_producer_attention_matches_unfused():
+    """Cog forward with the fused per-head-LayerNorm + joint-RoPE pallas
+    producers (interpret mode) == the unfused XLA path."""
+    from frameino_tpu.models import cogvideox_dit as M
+    from frameino_tpu.ops import attention as attn_ops
+    cfg = M.tiny_config()
+    params = M.init_cogvideox_dit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1),
+                          (1, 3, cfg.in_channels, 8, 8), jnp.float32)
+    text = jax.random.normal(jax.random.key(2),
+                             (1, cfg.max_text_seq_length,
+                              cfg.text_embed_dim))
+    t = jnp.array([500.0])
+    rope = tuple(jnp.asarray(r) for r in M.cogvideox_rope(cfg, 3, 8, 8))
+    ref = M.cogvideox_forward(cfg, params, x, text, t,
+                              image_rotary_emb=rope, attn_impl="xla")
+    attn_ops.FORCE_INTERPRET = True
+    try:
+        fused = M.cogvideox_forward(cfg, params, x, text, t,
+                                    image_rotary_emb=rope,
+                                    attn_impl="pallas")
+    finally:
+        attn_ops.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
