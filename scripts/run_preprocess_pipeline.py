@@ -73,6 +73,13 @@ def parse_args():
                         "step 4 runs the JAX OneFormer with semantic "
                         "labels (reference filter_panoptic_multi.py) "
                         "instead of the motion segmenter")
+    p.add_argument("--camera_checkpoint", default=None,
+                   help="released VGGT4Track weights; when set, step 5 "
+                        "runs the JAX VGGT 3D camera estimator and "
+                        "prunes by the reference's fraction-ranked "
+                        "rotation/translation/focal delete lists "
+                        "(make_delete_lists_camera.py) instead of the "
+                        "two-view keep_by_camera_motion gate")
     return p.parse_args()
 
 
@@ -92,7 +99,7 @@ def build_captioner(args):
 
 
 def process_video(name, video_folder, id_out_folder, args, vlm=None,
-                  oneformer=None):
+                  oneformer=None, camera_estimator=None):
     from frameino_tpu.data.video_io import decode_video
     from frameino_tpu.preprocess.basic_filter import filter_basic
     from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
@@ -133,8 +140,14 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None,
     if iqa["clarity"] < args.min_clarity:
         return None, "image_scoring"
 
-    # 5. camera motion (before the expensive per-object tracking)
-    if not keep_by_camera_motion(clip):
+    # 5. camera motion (before the expensive per-object tracking).
+    # With a VGGT estimator: record the 3D camera_info for the
+    # dataset-level fraction-ranked pruning (reference semantics);
+    # otherwise gate per-clip on two-view stats.
+    camera_info = None
+    if camera_estimator is not None:
+        camera_info = camera_estimator(clip)
+    elif not keep_by_camera_motion(clip):
         return None, "camera_pose"
 
     # 4. panoptic -> per-object first-frame points + masks.
@@ -209,7 +222,7 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None,
            _dumps([track_traj]),
            _dumps([obj_info]),
            _dumps([id_info])]
-    return row, None
+    return (row, camera_info), None
 
 
 def main():
@@ -219,6 +232,7 @@ def main():
     id_folder = os.path.join(args.output_folder, "video_dataset",
                              "train_ID_FrameIn")
     rows, dropped = [], {}
+    camera_infos = {}
     vlm = build_captioner(args)
     oneformer = None
     if args.panoptic_checkpoint:
@@ -226,17 +240,39 @@ def main():
             load_oneformer_segmenter
         oneformer = load_oneformer_segmenter(args.panoptic_checkpoint,
                                              motionable_only=True)
+    camera_estimator = None
+    if args.camera_checkpoint:
+        from frameino_tpu.models.vggt import load_vggt_camera
+        camera_estimator = load_vggt_camera(args.camera_checkpoint)
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
     for name in names:
-        row, reason = process_video(name, args.video_folder, id_folder,
-                                    args, vlm=vlm, oneformer=oneformer)
-        if row is None:
+        out, reason = process_video(name, args.video_folder, id_folder,
+                                    args, vlm=vlm, oneformer=oneformer,
+                                    camera_estimator=camera_estimator)
+        if out is None:
             dropped[name] = reason
             print(f"drop {name}: {reason}")
         else:
+            row, cam = out
+            if cam is not None:
+                camera_infos[name] = cam
             rows.append(row)
             print(f"keep {name}")
+    if camera_infos:
+        # reference step-5 pruning: delete the top fraction of each
+        # rotation/translation/focal ranking (make_delete_lists_camera)
+        from frameino_tpu.preprocess.camera_pose import \
+            make_camera_delete_list
+        delete = make_camera_delete_list(camera_infos)
+        kept = []
+        for row in rows:
+            if row[0] in delete:
+                dropped[row[0]] = "camera_pose"
+                print(f"drop {row[0]}: camera_pose (ranked)")
+            else:
+                kept.append(row)
+        rows = kept
     os.makedirs(csv_folder, exist_ok=True)
     write_csv(os.path.join(csv_folder, args.csv_name),
               ["video_path", "height", "width", "valid_duration",
