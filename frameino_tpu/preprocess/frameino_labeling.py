@@ -100,3 +100,98 @@ def label_step(first_frame: np.ndarray, mask: np.ndarray,
     entry = [[list(bbox), None, []],
              [[int(b[0]), list(b[1]), list(b[2])] for b in boxes]]
     return entry, crop
+
+
+def sam2_refine(frames: np.ndarray,
+                tracks,
+                segmenter,
+                region_boxes,
+                start_frame_idx: int = 0,
+                min_area_ratio: float = 0.1,
+                max_skip_ratio: float = 0.33,
+                num_other_refs: int = 3,
+                rng=None):
+    """The reference's ``SAM2_Refine`` (``track_FrameINO.py:215-398``):
+    video-propagated object masks from the track points, then
+
+    - main ID reference = first-frame mask crop at its bbox (must be
+      >= ``min_area_ratio`` of the frame area);
+    - auxiliary references: per-frame mask crops sorted by area, the
+      smallest 25% discarded, up to ``num_other_refs`` sampled;
+    - track points falling OUTSIDE the SAM mask in any frame are marked
+      invalid; the clip is rejected when the invalid ratio exceeds
+      ``max_skip_ratio``;
+    - region boxes overlapping the first-frame mask are dropped.
+
+    ``segmenter(frames, points) -> [T, H, W]`` is the SAM2
+    video-propagation contract (``evaluation.perception.load_sam2``; the
+    offline tests use the naive color segmenter).
+
+    Returns (segmentation_info, useful_region_boxes, point_valid_status,
+    crops) with segmentation_info = [first_bbox, main_crop_index,
+    other_crop_indices] indexing into ``crops`` — the caller writes the
+    crop files and substitutes paths — or ([], [], [], []) on
+    rejection.
+    """
+    import random as _random
+    rng = rng or _random.Random(0)
+    T, H, W = frames.shape[:3]
+    sub = frames[start_frame_idx:]
+    start_points = np.asarray(tracks[start_frame_idx], np.float32)
+    masks = np.asarray(segmenter(sub, start_points))      # [T', H, W]
+    min_area = min_area_ratio * H * W
+
+    point_valid = [True] * len(start_points)
+    infos = []                                 # (crop, area)
+    first_mask = None
+    for fi, mask in enumerate(masks):
+        mask = (mask > 0).astype(np.uint8)
+        # invalidate tracked points outside the SAM mask (reference
+        # point_valid_status loop)
+        t_idx = start_frame_idx + fi
+        if t_idx < len(tracks):
+            for pi, (x, y) in enumerate(tracks[t_idx]):
+                xi, yi = int(x), int(y)
+                if 0 <= yi < H and 0 <= xi < W and mask[yi, xi] == 0:
+                    point_valid[pi] = False
+        bbox = object_bbox(mask.astype(bool))
+        if fi == 0:
+            first_mask = mask
+            if bbox is None:
+                return [], [], [], []
+            x0, y0, x1, y1 = bbox
+            if (x1 - x0) * (y1 - y0) < min_area:
+                return [], [], [], []
+        if bbox is None:
+            continue
+        x0, y0, x1, y1 = bbox
+        if (x1 - x0) * (y1 - y0) < min_area:
+            continue
+        seg_img = sub[fi] * mask[..., None]
+        infos.append((seg_img[y0:y1, x0:x1], (x1 - x0) * (y1 - y0),
+                      bbox, fi == 0))
+
+    skip_ratio = 1.0 - sum(point_valid) / max(len(point_valid), 1)
+    if skip_ratio > max_skip_ratio or not infos:
+        return [], [], [], []
+
+    crops = [infos[0][0]]                      # main reference (frame 0)
+    first_bbox = infos[0][2]
+    # auxiliary refs: area-sorted, smallest quartile discarded, sampled
+    pool = sorted(infos, key=lambda e: e[1])
+    pool = pool[int(len(pool) * 0.25):]
+    picked = rng.sample(pool, min(num_other_refs, len(pool)))
+    other_idx = []
+    for crop, _, _, _ in picked:
+        other_idx.append(len(crops))
+        crops.append(crop)
+    seg_info = [list(first_bbox), 0, other_idx]
+
+    useful = []
+    for rb in region_boxes:
+        _, (x0, y0), (x1, y1) = rb
+        if np.all(first_mask[y0:y1, x0:x1] == 0):
+            useful.append(rb)
+    if not useful:
+        return [], [], [], []
+    return seg_info, useful, point_valid, crops

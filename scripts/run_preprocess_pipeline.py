@@ -73,6 +73,13 @@ def parse_args():
                         "step 4 runs the JAX OneFormer with semantic "
                         "labels (reference filter_panoptic_multi.py) "
                         "instead of the motion segmenter")
+    p.add_argument("--id_refine", default="none",
+                   choices=["none", "sam2"],
+                   help="step-8 ID refinement: 'sam2' runs the "
+                        "reference SAM2_Refine protocol (video-"
+                        "propagated masks from track points, aux "
+                        "references, point validation) via the SAM2 "
+                        "adapter in evaluation.perception")
     p.add_argument("--camera_checkpoint", default=None,
                    help="released VGGT4Track weights; when set, step 5 "
                         "runs the JAX VGGT 3D camera estimator and "
@@ -99,7 +106,8 @@ def build_captioner(args):
 
 
 def process_video(name, video_folder, id_out_folder, args, vlm=None,
-                  oneformer=None, camera_estimator=None):
+                  oneformer=None, camera_estimator=None,
+                  id_segmenter=None):
     from frameino_tpu.data.video_io import decode_video
     from frameino_tpu.preprocess.basic_filter import filter_basic
     from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
@@ -188,6 +196,7 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None,
                         for i in range(len(obj_info))])
     id_info = [[] for _ in obj_info]
     labeled = False
+    import cv2
     for oi in order:
         label = obj_info[oi][0]
         if magnitudes[oi] < args.min_motion or label not in masks:
@@ -196,12 +205,36 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None,
         boxes = find_region_boxes(mask, keep_n=args.keep_boxes)
         if not boxes:
             continue
+        if id_segmenter is not None:
+            # reference SAM2_Refine: video-propagated masks, point
+            # validation, aux references, mask-overlap box filtering
+            from frameino_tpu.preprocess.frameino_labeling import \
+                sam2_refine
+            seg_info, useful, valid, crops = sam2_refine(
+                clip, track_traj[oi], id_segmenter, boxes)
+            if not seg_info:
+                continue
+            os.makedirs(id_out_folder, exist_ok=True)
+            stem = os.path.splitext(name)[0]
+            ref_name = f"{stem}_{label}.png"
+            cv2.imwrite(os.path.join(id_out_folder, ref_name),
+                        cv2.cvtColor(crops[0], cv2.COLOR_RGB2BGR))
+            other_names = []
+            for j, ci in enumerate(seg_info[2]):
+                on = f"{stem}_{label}_other{j}.png"
+                cv2.imwrite(os.path.join(id_out_folder, on),
+                            cv2.cvtColor(crops[ci], cv2.COLOR_RGB2BGR))
+                other_names.append(on)
+            id_info[oi] = [[list(seg_info[0]), ref_name, other_names],
+                           [[int(b[0]), list(b[1]), list(b[2])]
+                            for b in useful]]
+            labeled = True
+            break
         crop = crop_id_reference(clip[0], mask)
         if crop is None or crop.size == 0:
             continue
         ref_name = f"{os.path.splitext(name)[0]}_{label}.png"
         os.makedirs(id_out_folder, exist_ok=True)
-        import cv2
         cv2.imwrite(os.path.join(id_out_folder, ref_name),
                     cv2.cvtColor(crop, cv2.COLOR_RGB2BGR))
         bbox = object_bbox(mask)
@@ -244,12 +277,17 @@ def main():
     if args.camera_checkpoint:
         from frameino_tpu.models.vggt import load_vggt_camera
         camera_estimator = load_vggt_camera(args.camera_checkpoint)
+    id_segmenter = None
+    if args.id_refine == "sam2":
+        from frameino_tpu.evaluation.perception import load_sam2
+        id_segmenter = load_sam2()
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
     for name in names:
         out, reason = process_video(name, args.video_folder, id_folder,
                                     args, vlm=vlm, oneformer=oneformer,
-                                    camera_estimator=camera_estimator)
+                                    camera_estimator=camera_estimator,
+                                    id_segmenter=id_segmenter)
         if out is None:
             dropped[name] = reason
             print(f"drop {name}: {reason}")

@@ -415,3 +415,38 @@ def test_qwen_captioner_message_protocol(monkeypatch):
                           "text": captioning.CAPTION_INSTRUCTION}
     assert seen["videos"][0].shape == (5, 3, 8, 8)   # TCHW clip
     assert seen["decoded_len"] == 3                  # new tokens only
+
+
+def test_sam2_refine_protocol():
+    """SAM2_Refine semantics (track_FrameINO.py:215-398): main + aux
+    crops, point invalidation + skip-ratio gate, region boxes
+    overlapping the mask dropped."""
+    from frameino_tpu.preprocess.frameino_labeling import sam2_refine
+
+    T, H, W = 6, 64, 96
+    frames = np.full((T, H, W, 3), 50, np.uint8)
+    # object: a bright square occupying >= 10% of the frame
+    for t in range(T):
+        frames[t, 10:42, 10 + t:58 + t] = 220
+
+    def segmenter(sub, points):
+        return np.stack([(f.mean(-1) > 100).astype(np.uint8)
+                         for f in sub])
+
+    tracks = [[[20 + t, 20], [30 + t, 30]] for t in range(T)]
+    region_boxes = [
+        (500, (60, 44), (90, 60)),    # clear of the object
+        (500, (12, 12), (30, 30)),    # overlaps -> dropped
+    ]
+    seg_info, useful, valid, crops = sam2_refine(
+        frames, tracks, segmenter, region_boxes)
+    assert seg_info and seg_info[1] == 0
+    assert all(valid)
+    assert len(useful) == 1 and useful[0][1] == (60, 44)
+    assert crops[0].shape[0] == 32                  # bbox-height crop
+    assert len(crops) == 1 + len(seg_info[2])
+
+    # points off the object -> invalidated -> skip-ratio rejection
+    bad_tracks = [[[2, 2], [3, 3]] for _ in range(T)]
+    out = sam2_refine(frames, bad_tracks, segmenter, region_boxes)
+    assert out == ([], [], [], [])
