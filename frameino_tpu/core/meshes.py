@@ -10,6 +10,10 @@ train_wan_motion_FrameINO.py:733-741``). The TPU-native equivalent is a
     tp    tensor parallel (attention heads / FFN hidden)
     sp    sequence parallel over video tokens (the reference has none —
           SURVEY §5 "long-context: none" — this is TPU headroom)
+    pp    pipeline parallel over the stacked block axis (GPipe via
+          shard_map + ppermute, ``parallel/pipeline.py``) — for
+          multi-slice topologies where only activation microbatches
+          should cross DCN
 
 Models never name devices directly; parameters carry *logical* axis names
 and ``logical_to_mesh_spec`` maps them onto mesh axes via rule tables.
@@ -31,13 +35,14 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     sp: int = 1
+    pp: int = 1
 
     @property
     def size(self) -> int:
-        return self.dp * self.fsdp * self.tp * self.sp
+        return self.dp * self.fsdp * self.tp * self.sp * self.pp
 
 
-AXIS_NAMES = ("dp", "fsdp", "tp", "sp")
+AXIS_NAMES = ("dp", "fsdp", "tp", "sp", "pp")
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
@@ -49,7 +54,11 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
         raise ValueError(
             f"mesh {cfg} needs {cfg.size} devices, got {len(devices)}"
         )
-    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp, cfg.sp)
+    # pp leads: stages map to the outermost (slice/DCN) dimension of a
+    # multi-slice topology; the other axes stay intra-slice on ICI
+    arr = np.array(devices).reshape(cfg.pp, cfg.dp, cfg.fsdp, cfg.tp,
+                                    cfg.sp)
+    arr = np.moveaxis(arr, 0, -1)
     return Mesh(arr, AXIS_NAMES)
 
 

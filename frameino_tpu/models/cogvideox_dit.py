@@ -392,14 +392,32 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
                       attn_impl: Optional[str] = None,
                       differentiable: bool = False,
                       remat: bool = False,
-                      mesh=None) -> jax.Array:
+                      mesh=None,
+                      pp_microbatches: Optional[int] = None) -> jax.Array:
     """CogVideoXTransformer3DModel.forward (reference :446-562).
 
     hidden_states: [B, F, C, H, W] (frame-first, like the reference).
     encoder_hidden_states: [B, L, text_dim]. timestep: [B].
     Returns [B, F, out_channels, H, W].
+
+    With a mesh pp>1 axis the 42-block sweep runs as a GPipe pipeline
+    over the stacked-layer axis (``parallel/pipeline.py``); the joint
+    (video, text) stream pair is the pipelined activation.
     """
     B, F, C, H, W = hidden_states.shape
+
+    ppn = 1 if mesh is None else mesh.shape.get("pp", 1)
+    if ppn > 1:
+        from frameino_tpu.parallel import pipeline as pp_mod
+        if mesh.shape.get("sp", 1) > 1:
+            raise ValueError(
+                "pp and sp cannot combine: the manual-pp pipeline region "
+                "excludes the sp attention shard_map")
+        if not pp_mod.supports_pp(mesh, cfg.num_layers, B, pp_microbatches):
+            raise ValueError(
+                f"pp={ppn} needs num_layers % pp == 0 and batch % "
+                f"microbatches == 0 (L={cfg.num_layers}, B={B}, "
+                f"M={pp_microbatches or ppn})")
 
     t_freq = sinusoidal_timestep_embedding(
         timestep.astype(jnp.float32), cfg.inner_dim,
@@ -418,15 +436,28 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
     cos, sin = (image_rotary_emb if image_rotary_emb is not None
                 else (None, None))
 
-    def body(carry, layer_params):
-        h, enc = carry
-        h, enc = _block_forward(cfg, layer_params, h, enc, emb, cos, sin,
-                                attn_impl, differentiable, mesh)
-        return (h, enc), None
+    if ppn > 1:
+        from frameino_tpu.parallel import pipeline as pp_mod
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
-    (h, enc), _ = jax.lax.scan(body, (h, enc), params["blocks"])
+        def block_fn(layer_params, carry, aux, shared):
+            h, enc = carry
+            return _block_forward(cfg, layer_params, h, enc, aux,
+                                  shared[0], shared[1], attn_impl,
+                                  differentiable, None)
+
+        h, enc = pp_mod.pipeline_blocks(
+            mesh, params["blocks"], (h, enc), emb, (cos, sin), block_fn,
+            microbatches=pp_microbatches, remat=remat)
+    else:
+        def body(carry, layer_params):
+            h, enc = carry
+            h, enc = _block_forward(cfg, layer_params, h, enc, emb, cos,
+                                    sin, attn_impl, differentiable, mesh)
+            return (h, enc), None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        (h, enc), _ = jax.lax.scan(body, (h, enc), params["blocks"])
 
     if not cfg.use_rotary_positional_embeddings:
         # CogVideoX-2B

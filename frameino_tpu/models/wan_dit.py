@@ -366,7 +366,8 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
                     attn_impl: Optional[str] = None,
                     differentiable: bool = False,
                     remat: bool = False,
-                    mesh=None) -> jax.Array:
+                    mesh=None,
+                    pp_microbatches: Optional[int] = None) -> jax.Array:
     """WanTransformer3DModel.forward (reference :454-551).
 
     hidden_states: [B, C, F, H, W] (latent + condition channels).
@@ -384,10 +385,27 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
     are sharded along the sequence and every attention call runs as a
     sequence-parallel shard_map (all-gather-KV context parallelism) —
     the long-context headroom the reference never had (SURVEY §5).
+    With a pp>1 axis, the block sweep runs as a GPipe pipeline over the
+    stacked-layer axis (``parallel/pipeline.py``): ``pp_microbatches``
+    (default pp) must divide the batch, num_layers must divide by pp,
+    and sp must be 1 (the manual pp region excludes the sp shard_map).
     """
     B, C, F, H, W = hidden_states.shape
     pt, ph, pw = cfg.patch_size
     grid = (F // pt, H // ph, W // pw)
+
+    ppn = 1 if mesh is None else mesh.shape.get("pp", 1)
+    if ppn > 1:
+        from frameino_tpu.parallel import pipeline as pp_mod
+        if mesh.shape.get("sp", 1) > 1:
+            raise ValueError(
+                "pp and sp cannot combine: the manual-pp pipeline region "
+                "excludes the sp attention shard_map")
+        if not pp_mod.supports_pp(mesh, cfg.num_layers, B, pp_microbatches):
+            raise ValueError(
+                f"pp={ppn} needs num_layers % pp == 0 and batch % "
+                f"microbatches == 0 (L={cfg.num_layers}, B={B}, "
+                f"M={pp_microbatches or ppn})")
 
     cos_np, sin_np = rope_ops.wan_rope_table(cfg.attention_head_dim, *grid,
                                              max_seq_len=cfg.rope_max_seq_len)
@@ -428,16 +446,31 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
                                       encoder_hidden_states_image, cfg.eps)
 
     stacked = params["blocks"]
+    if ppn > 1:
+        from frameino_tpu.parallel import pipeline as pp_mod
+        aux_batch = {"context": context, "timestep_proj": timestep_proj}
+        if context_img is not None:
+            aux_batch["context_img"] = context_img
 
-    def body(carry, layer_params):
-        h = _block_forward(cfg, layer_params, carry, context, context_img,
-                           timestep_proj, cos, sin, attn_impl, differentiable,
-                           mesh)
-        return h, None
+        def block_fn(layer_params, h, aux, shared):
+            return _block_forward(cfg, layer_params, h, aux["context"],
+                                  aux.get("context_img"),
+                                  aux["timestep_proj"], shared[0], shared[1],
+                                  attn_impl, differentiable, None)
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, stacked)
+        x = pp_mod.pipeline_blocks(mesh, stacked, x, aux_batch, (cos, sin),
+                                   block_fn, microbatches=pp_microbatches,
+                                   remat=remat)
+    else:
+        def body(carry, layer_params):
+            h = _block_forward(cfg, layer_params, carry, context, context_img,
+                               timestep_proj, cos, sin, attn_impl,
+                               differentiable, mesh)
+            return h, None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        x, _ = jax.lax.scan(body, x, stacked)
 
     # Output AdaLN + projection (reference :519-537)
     table = params["norm_out_table"].astype(jnp.float32)    # [1, 2, D]

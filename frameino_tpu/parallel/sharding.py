@@ -10,15 +10,20 @@ lays parameters and activations out over a 4-axis
     fsdp  ZeRO-3-style parameter/optimizer sharding
     tp    tensor parallelism (attention heads / FFN hidden)
     sp    sequence parallelism over video tokens
+    pp    pipeline parallelism: stacked-block 'layers' axis sharded into
+          stages (GPipe schedule in ``parallel/pipeline.py``)
 
-and lets XLA GSPMD insert the collectives. Rules are path-pattern based
-over the plain-dict parameter pytrees, with divisibility guards so any
-mesh shape degrades gracefully to replication.
+and lets XLA GSPMD insert the collectives (pp's ppermutes are the one
+manual exception). Rules are path-pattern based over the plain-dict
+parameter pytrees, with divisibility guards so any mesh shape degrades
+gracefully to replication.
 
-PP and EP are intentionally absent: the reference architecture has no
-pipeline stages or MoE experts (SURVEY §2.8); Wan2.2's "two experts" are
-timestep-routed whole models, which the pipeline handles by splitting the
-denoise schedule (``frameino_tpu/pipelines/wan_i2v.py``).
+EP is intentionally absent: the architecture has no per-token-routed
+MoE experts (SURVEY §2.8). Wan2.2's "two experts" are timestep-routed
+whole models — the pipeline splits the denoise schedule between them
+(``frameino_tpu/pipelines/wan_i2v.py``), and sharding BOTH expert param
+trees with these same rules (fsdp/tp/pp) is the expert-parallel layout:
+per-chip memory halves without a dedicated mesh axis.
 """
 
 from __future__ import annotations
@@ -59,10 +64,27 @@ _DIT_RULES = [
 ]
 
 
+def _with_pp(spec: P, stacked: bool, shape, mesh: Mesh) -> P:
+    """Stacked-block leaves: shard the leading 'layers' axis over pp.
+
+    With pp == 1 this is the identity (layers replicated, scan sweeps
+    them); with pp > 1 each pipeline stage holds its L/pp block slice
+    (``parallel/pipeline.py`` consumes exactly this layout).
+    """
+    ppn = mesh.shape.get("pp", 1)
+    if not stacked or ppn <= 1 or shape[0] % ppn:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    dims[0] = "pp"
+    while dims and dims[-1] is None:
+        dims.pop()
+    return P(*dims)
+
+
 def _spec_for(path: str, leaf, mesh: Mesh, stacked_prefixes=("blocks.",)):
     stacked = any(path.startswith(p) for p in stacked_prefixes)
     shape = leaf.shape
-    offset = 1 if stacked else 0          # leading 'layers' axis, unsharded
+    offset = 1 if stacked else 0          # leading 'layers' axis (pp)
     for pat, axes in _DIT_RULES:
         if re.match(pat, path):
             dims = [None] * len(shape)
@@ -74,7 +96,7 @@ def _spec_for(path: str, leaf, mesh: Mesh, stacked_prefixes=("blocks.",)):
                     dims[di] = ax
             while dims and dims[-1] is None:
                 dims.pop()
-            return P(*dims)
+            return _with_pp(P(*dims), stacked, shape, mesh)
     # default: fsdp-shard the largest divisible axis of big tensors
     if leaf.size >= 1 << 16:
         fs = mesh.shape.get("fsdp", 1)
@@ -87,8 +109,8 @@ def _spec_for(path: str, leaf, mesh: Mesh, stacked_prefixes=("blocks.",)):
                     dims[i] = "fsdp"
                     while dims and dims[-1] is None:
                         dims.pop()
-                    return P(*dims)
-    return P()
+                    return _with_pp(P(*dims), stacked, shape, mesh)
+    return _with_pp(P(), stacked, shape, mesh)
 
 
 def dit_param_specs(params, mesh: Mesh) -> Dict:

@@ -89,7 +89,7 @@ def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "sched_cfg",
                                              "scheduler_type",
                                              "num_inference_steps",
-                                             "attn_impl"))
+                                             "attn_impl", "mesh"))
 def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
             sched_cfg: DDIMConfig,
             latents: jax.Array,
@@ -102,8 +102,12 @@ def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
             guidance_scales: jax.Array,
             num_inference_steps: int,
             scheduler_type: str = "ddim",
-            attn_impl: Optional[str] = None) -> jax.Array:
-    """CFG denoise scan. latents: [B, F, z, h, w] frame-first."""
+            attn_impl: Optional[str] = None,
+            mesh=None) -> jax.Array:
+    """CFG denoise scan. latents: [B, F, z, h, w] frame-first.
+
+    ``mesh``: run the DiT forwards sharded (dp/fsdp/tp/sp/pp per the
+    mesh axes) for multi-chip serving."""
     B, F, z, h, w = latents.shape
     ac = jnp.asarray(ddim_alphas_cumprod(sched_cfg), jnp.float32)
     context_2b = jnp.concatenate([neg_context, context], axis=0)
@@ -131,7 +135,8 @@ def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
         ts = jnp.broadcast_to(t, (2 * B,)).astype(jnp.float32)
         pred = cogvideox_dit.cogvideox_forward(
             dit_cfg, dit_params, x_in, context_2b, ts,
-            image_rotary_emb=(rope_cos, rope_sin), attn_impl=attn_impl)
+            image_rotary_emb=(rope_cos, rope_sin), attn_impl=attn_impl,
+            mesh=mesh)
         pred = pred.astype(jnp.float32)[:, :F]           # drop ID frames
         uncond, cond = jnp.split(pred, 2, axis=0)
         noise_pred = uncond + g * (cond - uncond)

@@ -233,7 +233,8 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
                     timesteps: jax.Array,
                     guidance_scale: float,
                     attn_impl: Optional[str] = None,
-                    cfg_sequential: bool = False) -> jax.Array:
+                    cfg_sequential: bool = False,
+                    mesh=None) -> jax.Array:
     """Scan one expert over its timestep segment.
 
     latents: [B, z, F, h, w]; context_2b: [2B, L, text_dim] (cond; uncond).
@@ -280,23 +281,23 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
         if do_cfg and cfg_sequential:
             pred_cond = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[:B],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
             pred_uncond = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[B:],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
             noise_pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
         elif do_cfg:
             model_in = jnp.concatenate([latent_in, latent_in], axis=0)
             pred = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, model_in,
                 jnp.concatenate([t_b, t_b], axis=0), context_2b,
-                timestep_mask=ts_mask_2b, attn_impl=attn_impl)
+                timestep_mask=ts_mask_2b, attn_impl=attn_impl, mesh=mesh)
             pred_cond, pred_uncond = jnp.split(pred, 2, axis=0)
             noise_pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
         else:
             noise_pred = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[:B],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
 
         noise_pred = noise_pred[:, :, :num_gen_frames]     # drop ID frames
         latents = euler_step(latents, noise_pred, sigma, sigma_next)
@@ -311,7 +312,7 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
     jax.jit,
     static_argnames=("dit_cfg", "dit_cfg_2", "guidance_scale",
                      "guidance_scale_2", "attn_impl", "split_idx",
-                     "cfg_mode"))
+                     "cfg_mode", "mesh"))
 def denoise(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
             latents: jax.Array, condition: jax.Array,
             traj_latents: Optional[jax.Array],
@@ -325,19 +326,23 @@ def denoise(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
             dit_params_2: Optional[Params] = None,
             guidance_scale_2: Optional[float] = None,
             split_idx: int = 0,
-            cfg_mode: str = "batch") -> jax.Array:
+            cfg_mode: str = "batch",
+            mesh=None) -> jax.Array:
     """Full CFG denoise loop. sigmas: [steps+1]; timesteps: [steps].
 
     ``split_idx`` > 0 routes steps [0, split_idx) to ``dit_params`` (high
     noise) and the rest to ``dit_params_2`` (low noise) — the two-expert
-    Wan2.2 path (reference ``:804-823``).
+    Wan2.2 path (reference ``:804-823``). With a ``mesh``, the DiT
+    forwards run sharded (dp/fsdp/tp/sp/pp per the mesh axes); sharding
+    BOTH expert param trees is the expert-parallel serving layout
+    (per-chip params halve — ``parallel/sharding.py`` EP note).
     """
     context_2b = jnp.concatenate([context, neg_context], axis=0)
     seg = functools.partial(
         denoise_segment, condition=condition, traj_latents=traj_latents,
         id_latents=id_latents, first_frame_mask=first_frame_mask,
         context_2b=context_2b, attn_impl=attn_impl,
-        cfg_sequential=cfg_mode == "sequential")
+        cfg_sequential=cfg_mode == "sequential", mesh=mesh)
 
     if split_idx and dit_params_2 is not None:
         latents = seg(dit_cfg, dit_params, latents,
@@ -378,7 +383,8 @@ class WanImageToVideoPipeline:
                  text_encoder_fn=None,
                  image_encoder_fn=None,
                  dit_params_2: Optional[Params] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 mesh=None):
         if quantize == "int8":
             # w8a8 serving config: 2x MXU throughput on v5e (measured
             # 1.39 vs 1.05 denoise steps/s on the 5B; models/quant.py)
@@ -399,6 +405,10 @@ class WanImageToVideoPipeline:
         # pipeline_wan_i2v_motion.py:22,65-66); see
         # frameino_tpu/models/clip_vision.make_image_encoder_fn
         self.image_encoder_fn = image_encoder_fn
+        # multi-chip serving: denoise forwards run sharded over this
+        # mesh (dp/fsdp/tp/sp/pp); shard dit_params (and params_2) with
+        # parallel.sharding.shard_pytree before constructing
+        self.mesh = mesh
 
     def __call__(self,
                  image: jax.Array,
@@ -487,7 +497,8 @@ class WanImageToVideoPipeline:
                 split_idx = int(np.sum(timesteps_np >= boundary_t))
 
             common = dict(guidance_scale=float(guidance_scale),
-                          attn_impl=attn_impl, cfg_mode=cfg_mode)
+                          attn_impl=attn_impl, cfg_mode=cfg_mode,
+                          mesh=self.mesh)
             if steps_per_program and split_idx == 0:
                 # chunk the schedule into bounded XLA programs: the final
                 # per-chunk re-blend is idempotent under the binary mask,

@@ -17,7 +17,7 @@ Recipe reproduced exactly:
      optax; the gradient all-reduce over dp is inserted by GSPMD.
 
 TPU redesign: the whole step (VAE encodes included) is ONE jit program
-over a (dp, fsdp, tp, sp) mesh; no host round-trips inside the step.
+over a (dp, fsdp, tp, sp, pp) mesh; no host round-trips inside the step.
 """
 
 from __future__ import annotations

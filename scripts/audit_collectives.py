@@ -31,11 +31,12 @@ from tests.test_collectives import (_compile_denoise,  # noqa: E402
 def main():
     for mcfg in (MeshConfig(dp=2, fsdp=2, tp=2, sp=1),
                  MeshConfig(dp=2, fsdp=2, tp=1, sp=2),
-                 MeshConfig(dp=8, fsdp=1, tp=1, sp=1)):
+                 MeshConfig(dp=8, fsdp=1, tp=1, sp=1),
+                 MeshConfig(dp=2, fsdp=1, tp=2, sp=1, pp=2)):
         compiled, pb, _ = _compile_train_step(mcfg)
         print(format_table(
             f"train step dp{mcfg.dp}/fsdp{mcfg.fsdp}/tp{mcfg.tp}"
-            f"/sp{mcfg.sp} (params {pb / 1e6:.2f} MB)",
+            f"/sp{mcfg.sp}/pp{mcfg.pp} (params {pb / 1e6:.2f} MB)",
             audit_collectives(compiled)))
     for method in ("allgather", "ring"):
         compiled = _compile_denoise(

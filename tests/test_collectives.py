@@ -104,7 +104,7 @@ def _compile_denoise(mcfg: MeshConfig, sp_method: str):
     from frameino_tpu.models import wan_dit
     dit_cfg, _ = _tiny_cfgs()
     params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
-    n = mcfg.dp * mcfg.fsdp * mcfg.tp * mcfg.sp
+    n = mcfg.size
     mesh = make_mesh(mcfg, devices=jax.devices()[:n])
     B, F, H, W = 1, 4, 8, 8
     x = jnp.zeros((B, dit_cfg.in_channels, F, H, W))
@@ -137,6 +137,37 @@ def test_sp_attention_collectives():
     print(format_table("denoise sp4 ring", inv_ring))
     assert inv_ring.get("collective-permute",
                         {"count": 0})["count"] >= 1
+
+
+def test_pp_pipeline_collectives():
+    """dp2/tp2/pp2 forward: the GPipe pipeline lowers to
+    collective-permutes (per-tick activation hops, scan-carried) and
+    must not gather any full stacked-block leaf back together — each
+    stage keeps its L/pp slice resident."""
+    from frameino_tpu.models import wan_dit
+    dit_cfg, _ = _tiny_cfgs()
+    params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
+    mcfg = MeshConfig(dp=2, tp=2, pp=2)
+    mesh = make_mesh(mcfg, devices=jax.devices()[:mcfg.size])
+    B, F, H, W = 2, 4, 8, 8
+    x = jnp.zeros((B, dit_cfg.in_channels, F, H, W))
+    t = jnp.full((B,), 500.0)
+    text = jnp.zeros((B, 8, dit_cfg.text_dim))
+    with mesh:
+        fn = jax.jit(lambda p, x, t, c: wan_dit.wan_dit_forward(
+            dit_cfg, p, x, t, c, attn_impl="xla", mesh=mesh))
+        compiled = fn.lower(params, x, t, text).compile()
+    inv = audit_collectives(compiled)
+    print(format_table("forward dp2/tp2/pp2", inv))
+    assert inv.get("collective-permute", {"count": 0})["count"] >= 1
+    stacked_bytes = max(
+        np.prod(v.shape) * v.dtype.itemsize
+        for v in jax.tree.leaves(params["blocks"]))
+    ag = inv.get("all-gather")
+    if ag is not None:
+        assert ag["max_single_bytes"] < stacked_bytes, (
+            "a full stacked-block leaf was gathered — pp stage slices "
+            "must stay sharded")
 
 
 def test_single_device_has_no_collectives():
