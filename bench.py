@@ -45,7 +45,7 @@ def main():
     cfg = wan_dit.WAN22_TI2V_5B_MOTION
     params = zeros_params(cfg)
     from frameino_tpu.models.quant import quantize_dit_int8
-    params_int8 = jax.jit(quantize_dit_int8)(params)
+    params_int8 = quantize_dit_int8(params)   # non-donating: bf16 measured too
 
     S_frame = (H // 2) * (W // 2)
     S_tokens = (F + N_ID) * S_frame

@@ -16,11 +16,13 @@ proj_out (quality-sensitive, negligible FLOPs).
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from frameino_tpu.core.tree import flatten, unflatten
 
@@ -47,15 +49,55 @@ def _quantize_kernel(w: jax.Array):
     return q, scale.squeeze(-2)
 
 
-def quantize_dit_int8(params: Params) -> Params:
+def _quantize_kernel_chunked(w: jax.Array):
+    """Per-leaf quantization with fp32 intermediates bounded: stacked
+    [L, in, out] kernels quantize one layer at a time (``lax.map``) so
+    the fp32 upcast peaks at one layer's kernel, not the whole leaf."""
+    if w.ndim >= 3:
+        return jax.lax.map(_quantize_kernel, w)
+    return _quantize_kernel(w)
+
+
+# the donating variant frees each bf16 kernel as soon as its int8 copy
+# exists — peak HBM ~ (full tree) + (one int8 leaf), which is what lets
+# CogVideoX-5B (12.8 GB bf16) quantize on a 15.75 GB chip
+_quantize_device = jax.jit(_quantize_kernel_chunked)
+_quantize_device_donate = jax.jit(_quantize_kernel_chunked,
+                                  donate_argnums=(0,))
+
+
+def _quantize_kernel_host(w: "np.ndarray"):
+    """Same math in numpy for host-resident (pre-upload) leaves."""
+    wf = np.asarray(w, dtype=np.float32)
+    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
+    scale = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return q, np.squeeze(scale, axis=-2)
+
+
+def quantize_dit_int8(params: Params, donate: bool = False) -> Params:
     """Replace hot matmul kernels with {kernel_q, scale}; the ops-layer
-    ``dense`` dispatches automatically. Returns a new param tree."""
+    ``dense`` dispatches automatically. Returns a new param tree.
+
+    Streaming: each kernel is quantized by its own per-leaf jit call,
+    and host (numpy) leaves quantize in numpy before any upload. With
+    ``donate=True`` each device bf16 kernel is donated — freed as soon
+    as its int8 copy exists — so quantizing never holds two full param
+    trees in HBM (required for CogVideoX-5B on one chip). Donation
+    invalidates the caller's tree; serving paths that hand the tree off
+    (the pipelines) use it, callers that keep the bf16 tree (tests,
+    bf16-vs-int8 benches) must not.
+    """
     flat = flatten(params)
     out = {}
     quantized = set()
+    dev_q = _quantize_device_donate if donate else _quantize_device
     for path, leaf in flat.items():
         if any(re.match(p, path) for p in _QUANT_PATTERNS):
-            q, s = _quantize_kernel(leaf)
+            if isinstance(leaf, np.ndarray):
+                q, s = _quantize_kernel_host(leaf)
+            else:
+                q, s = dev_q(leaf)
             base = path[: -len(".kernel")]
             out[base + ".kernel_q"] = q
             out[base + ".scale"] = s

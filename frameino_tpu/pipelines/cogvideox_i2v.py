@@ -173,7 +173,9 @@ class CogVideoXImageToVideoPipeline:
         if quantize == "int8":
             # w8a8 serving config (models/quant.py; v5e 2x MXU)
             from frameino_tpu.models.quant import quantize_dit_int8
-            dit_params = quantize_dit_int8(dit_params)
+            # donate: serving hands the tree off; streaming per-leaf
+            # quantization keeps CogVideoX-5B under one chip's HBM
+            dit_params = quantize_dit_int8(dit_params, donate=True)
         elif quantize is not None:
             raise ValueError(f"unsupported quantize={quantize!r}")
         self.dit_cfg = dit_cfg

@@ -389,9 +389,9 @@ class WanImageToVideoPipeline:
             # w8a8 serving config: 2x MXU throughput on v5e (measured
             # 1.39 vs 1.05 denoise steps/s on the 5B; models/quant.py)
             from frameino_tpu.models.quant import quantize_dit_int8
-            dit_params = quantize_dit_int8(dit_params)
+            dit_params = quantize_dit_int8(dit_params, donate=True)
             if dit_params_2 is not None:
-                dit_params_2 = quantize_dit_int8(dit_params_2)
+                dit_params_2 = quantize_dit_int8(dit_params_2, donate=True)
         elif quantize is not None:
             raise ValueError(f"unsupported quantize={quantize!r}")
         self.dit_cfg = dit_cfg

@@ -48,8 +48,7 @@ def bench(name, cfg, F, H, W, text_len=512, per_token_ts=True,
     if int8:
         from frameino_tpu.models.quant import quantize_dit_int8
         # donate: the bf16 originals free as quantization runs
-        params = jax.jit(quantize_dit_int8,
-                         donate_argnums=(0,))(params)
+        params = quantize_dit_int8(params, donate=True)
     NB = batch
     S = F * (H // 2) * (W // 2)
     x = jnp.zeros((NB, cfg.in_channels, F, H, W), jnp.bfloat16)

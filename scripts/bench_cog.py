@@ -40,8 +40,7 @@ def main():
     if int8:
         from frameino_tpu.models.quant import quantize_dit_int8
         # donate: the bf16 originals free as quantization runs
-        params = jax.jit(quantize_dit_int8,
-                         donate_argnums=(0,))(params)
+        params = quantize_dit_int8(params, donate=True)
 
     F = F_LAT + N_ID
     x = jnp.zeros((B, F, cfg.in_channels, H_LAT, W_LAT), jnp.bfloat16)

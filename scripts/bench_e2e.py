@@ -49,7 +49,7 @@ def main():
         lambda k: wan_dit.init_wan_dit(k, dit_cfg), jax.random.key(0)))
     if int8:
         from frameino_tpu.models.quant import quantize_dit_int8
-        dit_params = jax.jit(quantize_dit_int8)(dit_params)
+        dit_params = quantize_dit_int8(dit_params, donate=True)
     vae_params = zeros_like_tree(jax.eval_shape(
         lambda k: wan_vae.init_wan_vae(k, vae_cfg), jax.random.key(0)))
 

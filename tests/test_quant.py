@@ -87,3 +87,40 @@ def test_pipeline_quantize_option():
     pipe = WanImageToVideoPipeline(cfg, dit_params, vae_cfg, vae_params,
                                    WanPipelineConfig(), quantize="int8")
     assert "kernel_q" in pipe.dit_params["blocks"]["ffn"]["fc1"]
+
+
+def test_host_and_device_quantization_agree():
+    """numpy (pre-upload) and jitted (device) paths produce identical
+    int8 kernels and scales — loaders may quantize host-side before any
+    upload (the CogVideoX-5B one-chip path)."""
+    from frameino_tpu.models.quant import (_quantize_kernel_chunked,
+                                           _quantize_kernel_host)
+    w = np.asarray(jax.random.normal(jax.random.key(0), (3, 16, 8),
+                                     jnp.float32))
+    qh, sh = _quantize_kernel_host(w)
+    qd, sd = jax.jit(_quantize_kernel_chunked)(jnp.asarray(w))
+    np.testing.assert_array_equal(qh, np.asarray(qd))
+    # scales agree to 1 ulp (XLA's f32 divide vs numpy's)
+    np.testing.assert_allclose(sh, np.asarray(sd), rtol=1e-6)
+
+
+def test_quantize_host_tree_stays_on_host():
+    """A numpy param tree quantizes without any device placement."""
+    cfg = wan_dit.tiny_config()
+    params = jax.tree.map(np.asarray,
+                          wan_dit.init_wan_dit(jax.random.key(0), cfg))
+    q = quantize_dit_int8(params)
+    leaves = jax.tree.leaves(q)
+    assert all(isinstance(l, np.ndarray) for l in leaves)
+    flat_paths = jax.tree_util.tree_flatten_with_path(q)[0]
+    assert any("kernel_q" in "".join(str(k) for k in p)
+               for p, _ in flat_paths)
+
+
+def test_quantize_donate_invalidates_input():
+    cfg = wan_dit.tiny_config()
+    params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    ref = quantize_dit_int8(jax.tree.map(jnp.copy, params))
+    got = quantize_dit_int8(params, donate=True)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
