@@ -128,6 +128,16 @@ def load_cotracker(device: str = "cpu") -> Callable:
     return track
 
 
+def load_cotracker_checkpoint(checkpoint_path: str,
+                              backward_tracking: bool = False) -> Callable:
+    """CoTracker3-offline in JAX from released weights — the TPU-native
+    tracker backend (``models/cotracker.py``; same contract as
+    ``load_cotracker`` without the torch.hub network dependency)."""
+    from frameino_tpu.models.cotracker import load_cotracker_jax
+    return load_cotracker_jax(checkpoint_path,
+                              backward_tracking=backward_tracking)
+
+
 def load_sam2(model_id: str = "facebook/sam2.1-hiera-large",
               device: str = "cpu") -> Callable:
     """SAM2 video propagation (reference ``evaluate_INO_VSeg_MAE.py:
@@ -299,18 +309,23 @@ def load_dinov2(device: str = "cpu") -> Callable:
 
 
 def load_default_backends(device: str = "cpu",
-                          vlm_endpoint: str = None) -> Dict[str, Callable]:
+                          vlm_endpoint: str = None,
+                          cotracker_checkpoint: str = None
+                          ) -> Dict[str, Callable]:
     """Load ALL four real adapters or fail loudly.
 
     Never silently substitutes a naive fallback (VERDICT r1: a
     "real-backend" run must not report a meaningless score without
     warning) — use ``naive_backends()`` explicitly for offline smoke.
-    ``vlm_endpoint`` switches the judge to an OpenAI-compatible server.
+    ``vlm_endpoint`` switches the judge to an OpenAI-compatible server;
+    ``cotracker_checkpoint`` switches the tracker to the JAX CoTracker3
+    (no torch.hub network dependency, runs on the TPU).
     """
     backends: Dict[str, Callable] = {}
     errors = []
     loaders = {
-        "tracker": lambda: load_cotracker(device),
+        "tracker": (lambda: load_cotracker_checkpoint(cotracker_checkpoint))
+        if cotracker_checkpoint else (lambda: load_cotracker(device)),
         "segmenter": lambda: load_sam2(device=device),
         "embedder": lambda: load_dinov2(device),
         "judge": (lambda: load_vlm_judge_http(vlm_endpoint))

@@ -658,10 +658,13 @@ def cotracker_from_state_dict(sd: Dict[str, np.ndarray],
 
 
 def load_cotracker_jax(checkpoint_path: str,
-                       cfg: CoTrackerConfig = COTRACKER3_OFFLINE):
+                       cfg: CoTrackerConfig = COTRACKER3_OFFLINE,
+                       backward_tracking: bool = False):
     """Load released weights (.pth via torch, or .safetensors) and
     return a ``track(frames, queries)`` callable with the
-    ``evaluation/perception.load_cotracker`` contract."""
+    ``evaluation/perception.load_cotracker`` contract.
+    ``backward_tracking=True`` gives the preprocess step-7 protocol
+    (``track_regular_motion_cycle.py:320``)."""
     if checkpoint_path.endswith(".safetensors"):
         from frameino_tpu.models.weights import load_safetensors_dir
         sd = load_safetensors_dir(checkpoint_path)
@@ -673,7 +676,8 @@ def load_cotracker_jax(checkpoint_path: str,
             sd = sd["model"]
         sd = {k: v.numpy() for k, v in sd.items()}
     params = cotracker_from_state_dict(sd, cfg)
-    fwd = jax.jit(lambda v, q: cotracker_predict(cfg, params, v, q))
+    fwd = jax.jit(lambda v, q: cotracker_predict(
+        cfg, params, v, q, backward_tracking=backward_tracking))
 
     def track(frames: np.ndarray, queries: np.ndarray) -> np.ndarray:
         video = jnp.asarray(frames, jnp.float32).transpose(0, 3, 1, 2)[None]

@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--num_instances", type=int, default=None)
     p.add_argument("--backends", choices=["naive", "default"],
                    default="naive")
+    p.add_argument("--cotracker_checkpoint", default=None,
+                   help="released CoTracker3-offline weights; with "
+                        "--backends default, runs the JAX tracker "
+                        "(models/cotracker.py) instead of torch.hub")
     p.add_argument("--schema", choices=["new", "old"], default="new",
                    help="CSV schema: 'old' = paper-v1.0 contract "
                         "(video_dataset_motion_FrameINO_old.py)")
@@ -193,7 +197,8 @@ def main():
         backends = naive_backends()
     else:
         from frameino_tpu.evaluation.perception import load_default_backends
-        backends = load_default_backends()
+        backends = load_default_backends(
+            cotracker_checkpoint=args.cotracker_checkpoint)
     results = mass_evaluation(
         args.output_dir, metrics, backends,
         test_num_frames=49 if is_frame_in else 14,

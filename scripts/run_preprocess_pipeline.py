@@ -80,6 +80,12 @@ def parse_args():
                         "propagated masks from track points, aux "
                         "references, point validation) via the SAM2 "
                         "adapter in evaluation.perception")
+    p.add_argument("--cotracker_checkpoint", default=None,
+                   help="released CoTracker3-offline weights; when set, "
+                        "step 7 tracks with the JAX CoTracker3 "
+                        "(forward+backward, the reference "
+                        "track_regular_motion_cycle.py protocol) "
+                        "instead of the pyramidal-LK cycle tracker")
     p.add_argument("--camera_checkpoint", default=None,
                    help="released VGGT4Track weights; when set, step 5 "
                         "runs the JAX VGGT 3D camera estimator and "
@@ -107,7 +113,7 @@ def build_captioner(args):
 
 def process_video(name, video_folder, id_out_folder, args, vlm=None,
                   oneformer=None, camera_estimator=None,
-                  id_segmenter=None):
+                  id_segmenter=None, point_tracker=None):
     from frameino_tpu.data.video_io import decode_video
     from frameino_tpu.preprocess.basic_filter import filter_basic
     from frameino_tpu.preprocess.camera_pose import keep_by_camera_motion
@@ -182,8 +188,9 @@ def process_video(name, video_folder, id_out_folder, args, vlm=None,
         clip, [0], vlm=vlm,
         allow_template=args.caption_backend == "template")
 
-    # 7. LK cycle tracking of the panoptic points
-    tracker = make_lk_tracker()
+    # 7. point tracking of the panoptic points: CoTracker3 (JAX) when
+    # a checkpoint was given, pyramidal-LK cycle tracker offline
+    tracker = point_tracker or make_lk_tracker()
     track_traj = track_step(clip, seg_points, tracker)
     magnitudes = [motion_magnitude(np.asarray(t)) for t in track_traj]
     if max(magnitudes) < args.min_motion:
@@ -281,13 +288,19 @@ def main():
     if args.id_refine == "sam2":
         from frameino_tpu.evaluation.perception import load_sam2
         id_segmenter = load_sam2()
+    point_tracker = None
+    if args.cotracker_checkpoint:
+        from frameino_tpu.models.cotracker import load_cotracker_jax
+        point_tracker = load_cotracker_jax(args.cotracker_checkpoint,
+                                           backward_tracking=True)
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
     for name in names:
         out, reason = process_video(name, args.video_folder, id_folder,
                                     args, vlm=vlm, oneformer=oneformer,
                                     camera_estimator=camera_estimator,
-                                    id_segmenter=id_segmenter)
+                                    id_segmenter=id_segmenter,
+                                    point_tracker=point_tracker)
         if out is None:
             dropped[name] = reason
             print(f"drop {name}: {reason}")
