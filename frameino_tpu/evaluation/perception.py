@@ -308,9 +308,18 @@ def load_dinov2(device: str = "cpu") -> Callable:
     return embed
 
 
+def load_dinov2_checkpoint(checkpoint_path: str) -> Callable:
+    """DINOv2 ViT-B/14 in JAX from released weights — the TPU-native
+    embedder backend (``models/dinov2.py``; same contract as
+    ``load_dinov2`` without the torch.hub network dependency)."""
+    from frameino_tpu.models.dinov2 import load_dinov2_jax
+    return load_dinov2_jax(checkpoint_path)
+
+
 def load_default_backends(device: str = "cpu",
                           vlm_endpoint: str = None,
-                          cotracker_checkpoint: str = None
+                          cotracker_checkpoint: str = None,
+                          dinov2_checkpoint: str = None
                           ) -> Dict[str, Callable]:
     """Load ALL four real adapters or fail loudly.
 
@@ -319,7 +328,8 @@ def load_default_backends(device: str = "cpu",
     warning) — use ``naive_backends()`` explicitly for offline smoke.
     ``vlm_endpoint`` switches the judge to an OpenAI-compatible server;
     ``cotracker_checkpoint`` switches the tracker to the JAX CoTracker3
-    (no torch.hub network dependency, runs on the TPU).
+    and ``dinov2_checkpoint`` the embedder to the JAX DINOv2 (no
+    torch.hub network dependency, runs on the TPU).
     """
     backends: Dict[str, Callable] = {}
     errors = []
@@ -327,7 +337,8 @@ def load_default_backends(device: str = "cpu",
         "tracker": (lambda: load_cotracker_checkpoint(cotracker_checkpoint))
         if cotracker_checkpoint else (lambda: load_cotracker(device)),
         "segmenter": lambda: load_sam2(device=device),
-        "embedder": lambda: load_dinov2(device),
+        "embedder": (lambda: load_dinov2_checkpoint(dinov2_checkpoint))
+        if dinov2_checkpoint else (lambda: load_dinov2(device)),
         "judge": (lambda: load_vlm_judge_http(vlm_endpoint))
         if vlm_endpoint else (lambda: load_qwen_judge()),
     }

@@ -39,6 +39,10 @@ def parse_args():
                    help="released CoTracker3-offline weights; with "
                         "--backends default, runs the JAX tracker "
                         "(models/cotracker.py) instead of torch.hub")
+    p.add_argument("--dinov2_checkpoint", default=None,
+                   help="released dinov2_vitb14 weights; with "
+                        "--backends default, runs the JAX embedder "
+                        "(models/dinov2.py) instead of torch.hub")
     p.add_argument("--schema", choices=["new", "old"], default="new",
                    help="CSV schema: 'old' = paper-v1.0 contract "
                         "(video_dataset_motion_FrameINO_old.py)")
@@ -198,7 +202,8 @@ def main():
     else:
         from frameino_tpu.evaluation.perception import load_default_backends
         backends = load_default_backends(
-            cotracker_checkpoint=args.cotracker_checkpoint)
+            cotracker_checkpoint=args.cotracker_checkpoint,
+            dinov2_checkpoint=args.dinov2_checkpoint)
     results = mass_evaluation(
         args.output_dir, metrics, backends,
         test_num_frames=49 if is_frame_in else 14,
