@@ -308,6 +308,15 @@ def load_dinov2(device: str = "cpu") -> Callable:
     return embed
 
 
+def load_sam2_checkpoint(checkpoint_path: str) -> Callable:
+    """SAM2.1 video propagation in JAX from released weights — the
+    TPU-native segmenter backend (``models/sam2.py`` +
+    ``models/sam2_video.py``; same contract as ``load_sam2`` without
+    the external ``sam2`` package dependency)."""
+    from frameino_tpu.models.sam2_video import load_sam2_jax
+    return load_sam2_jax(checkpoint_path)
+
+
 def load_dinov2_checkpoint(checkpoint_path: str) -> Callable:
     """DINOv2 ViT-B/14 in JAX from released weights — the TPU-native
     embedder backend (``models/dinov2.py``; same contract as
@@ -319,7 +328,8 @@ def load_dinov2_checkpoint(checkpoint_path: str) -> Callable:
 def load_default_backends(device: str = "cpu",
                           vlm_endpoint: str = None,
                           cotracker_checkpoint: str = None,
-                          dinov2_checkpoint: str = None
+                          dinov2_checkpoint: str = None,
+                          sam2_checkpoint: str = None
                           ) -> Dict[str, Callable]:
     """Load ALL four real adapters or fail loudly.
 
@@ -327,16 +337,19 @@ def load_default_backends(device: str = "cpu",
     "real-backend" run must not report a meaningless score without
     warning) — use ``naive_backends()`` explicitly for offline smoke.
     ``vlm_endpoint`` switches the judge to an OpenAI-compatible server;
-    ``cotracker_checkpoint`` switches the tracker to the JAX CoTracker3
-    and ``dinov2_checkpoint`` the embedder to the JAX DINOv2 (no
-    torch.hub network dependency, runs on the TPU).
+    ``cotracker_checkpoint`` switches the tracker to the JAX CoTracker3,
+    ``dinov2_checkpoint`` the embedder to the JAX DINOv2, and
+    ``sam2_checkpoint`` the segmenter to the JAX SAM2.1 (no torch.hub /
+    ``sam2``-package / network dependency — the whole metric stack runs
+    from local weight files on the TPU).
     """
     backends: Dict[str, Callable] = {}
     errors = []
     loaders = {
         "tracker": (lambda: load_cotracker_checkpoint(cotracker_checkpoint))
         if cotracker_checkpoint else (lambda: load_cotracker(device)),
-        "segmenter": lambda: load_sam2(device=device),
+        "segmenter": (lambda: load_sam2_checkpoint(sam2_checkpoint))
+        if sam2_checkpoint else (lambda: load_sam2(device=device)),
         "embedder": (lambda: load_dinov2_checkpoint(dinov2_checkpoint))
         if dinov2_checkpoint else (lambda: load_dinov2(device)),
         "judge": (lambda: load_vlm_judge_http(vlm_endpoint))

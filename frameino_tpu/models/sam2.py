@@ -277,16 +277,21 @@ def hiera_pos_embed(params, hw: Tuple[int, int],
     return jnp.asarray(bkg + tiled)[None]
 
 
-def hiera_forward(params: Params, x: jnp.ndarray,
-                  cfg: Sam2Config) -> List[jnp.ndarray]:
+def hiera_forward(params: Params, x: jnp.ndarray, cfg: Sam2Config,
+                  pos_embed: Optional[jnp.ndarray] = None
+                  ) -> List[jnp.ndarray]:
     """x [B,H,W,3] (normalized) -> stage-end features (low->high
-    stride), each [B,h,w,C]."""
+    stride), each [B,h,w,C]. ``pos_embed`` must be precomputed via
+    ``hiera_pos_embed`` when this runs under jit (the bicubic resize is
+    host-side numpy); defaults to computing it from concrete params."""
     p = params["trunk"]
     x = _conv2d(p["patch_embed"], x, stride=4,
                 padding=((3, 2), (3, 2)))   # k7 s4 p3: torch pads 3;
     # torch Conv2d(k=7,s=4,p=3) on size N: out = floor((N+6-7)/4)+1 =
     # N/4 for N%4==0 — lax needs (3,2) to produce the same windows
-    x = x + hiera_pos_embed(p, x.shape[1:3], cfg)
+    if pos_embed is None:
+        pos_embed = hiera_pos_embed(p, x.shape[1:3], cfg)
+    x = x + pos_embed
     outs = []
     for i, spec in enumerate(cfg.block_spec()):
         x = _hiera_block(p["blocks"][i], x, spec)
@@ -322,11 +327,13 @@ def neck_forward(params: Params, xs: List[jnp.ndarray],
 
 
 def image_encoder_forward(params: Params, x: jnp.ndarray,
-                          cfg: Sam2Config):
+                          cfg: Sam2Config,
+                          pos_embed: Optional[jnp.ndarray] = None):
     """Full image encoder. Returns (backbone_fpn, pos) with the
     stride-4/8 levels already projected to the mask decoder's high-res
     skip dims (conv_s0/conv_s1 — SAM2Base.forward_image)."""
-    feats, pos = neck_forward(params, hiera_forward(params, x, cfg), cfg)
+    feats, pos = neck_forward(
+        params, hiera_forward(params, x, cfg, pos_embed), cfg)
     feats = list(feats)
     feats[0] = _conv2d(params["decoder"]["conv_s0"], feats[0],
                        padding="VALID")
@@ -357,8 +364,9 @@ def prompt_encoder_points(params: Params, points: jnp.ndarray,
     {-1 pad, 0 neg, 1 pos}; a (0,0)/-1 pad point is appended."""
     p = params["prompt"]
     B = points.shape[0]
-    points = jnp.concatenate(
-        [points, jnp.zeros((B, 1, 2), points.dtype)], axis=1) + 0.5
+    points = jnp.concatenate(      # +0.5 pixel-center shift BEFORE the
+        [points + 0.5,             # (0,0) pad point, matching torch
+         jnp.zeros((B, 1, 2), points.dtype)], axis=1)
     labels = jnp.concatenate(
         [labels, -jnp.ones((B, 1), labels.dtype)], axis=1)
     pe = pe_with_coords(p["gauss"], points,
@@ -414,8 +422,10 @@ def two_way_transformer(params: Params, image_embedding: jnp.ndarray,
     queries = tokens
     for li, lp in enumerate(p["layers"]):
         if li == 0:
-            queries = queries + _attn(lp["self_attn"], queries, queries,
-                                      queries, cfg.dec_heads)
+            # skip_first_layer_pe: the first self-attention REPLACES
+            # the queries (no residual) — sam TwoWayAttentionBlock
+            queries = _attn(lp["self_attn"], queries, queries,
+                            queries, cfg.dec_heads)
         else:
             q = queries + tokens
             queries = queries + _attn(lp["self_attn"], q, q, queries,
@@ -530,6 +540,113 @@ def mask_decoder_forward(params: Params, src: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Random init (tests / shape reference)
+# ---------------------------------------------------------------------------
+
+def init_sam2(key, cfg: Sam2Config) -> Params:
+    """Random params with the exact tree/shapes of
+    ``sam2_from_state_dict`` output (tests, shape documentation)."""
+    import itertools
+    counter = itertools.count()
+
+    def nrm(*shape, scale=0.1):
+        k = jax.random.fold_in(key, next(counter))
+        return scale * jax.random.normal(k, shape, jnp.float32)
+
+    def lin(din, dout):
+        return {"w": nrm(din, dout), "b": nrm(dout)}
+
+    def conv(kh, kw, cin, cout):
+        return {"w": nrm(kh, kw, cin, cout), "b": nrm(cout)}
+
+    def mlp(din, dh, dout, n):
+        dims = [din] + [dh] * (n - 1) + [dout]
+        return {"layers": [lin(dims[i], dims[i + 1]) for i in range(n)]}
+
+    def attnp(dq, internal, dkv=None):
+        dkv = dkv if dkv is not None else dq
+        return {"q": lin(dq, internal), "k": lin(dkv, internal),
+                "v": lin(dkv, internal), "out": lin(internal, dq)}
+
+    E, C, M = cfg.embed_dim, cfg.d_model, cfg.mem_dim
+    trunk = {"patch_embed": conv(7, 7, 3, E),
+             "pos_embed": nrm(1, E, *cfg.window_pos_embed_bkg_spatial_size),
+             "pos_embed_window": nrm(1, E, cfg.window_spec[0],
+                                     cfg.window_spec[0]),
+             "blocks": []}
+    for spec in cfg.block_spec():
+        d, do = spec["dim"], spec["dim_out"]
+        blk = {"n1w": jnp.ones(d), "n1b": nrm(d),
+               "n2w": jnp.ones(do), "n2b": nrm(do),
+               "qkv": lin(d, 3 * do), "attn_proj": lin(do, do),
+               "mlp1": lin(do, int(do * cfg.mlp_ratio)),
+               "mlp2": lin(int(do * cfg.mlp_ratio), do)}
+        if d != do:
+            blk["proj"] = lin(d, do)
+        trunk["blocks"].append(blk)
+    neck = {"convs": [conv(1, 1, d, C)
+                      for d in reversed(cfg.backbone_dims)]}
+    prompt = {"gauss": nrm(2, C // 2, scale=1.0),
+              "point_embed": nrm(4, C), "not_a_point": nrm(C),
+              "no_mask": nrm(C),
+              "mask_down": [conv(2, 2, 1, 4), conv(2, 2, 4, 16),
+                            conv(1, 1, 16, C)],
+              "mask_down_ln": [(jnp.ones(4), nrm(4)),
+                               (jnp.ones(16), nrm(16))]}
+    dec_internal = C // 2
+    layers = []
+    for _ in range(2):
+        layers.append({
+            "self_attn": attnp(C, C),
+            "t2i": attnp(C, dec_internal), "i2t": attnp(C, dec_internal),
+            "mlp1": lin(C, cfg.dec_mlp_dim),
+            "mlp2": lin(cfg.dec_mlp_dim, C),
+            **{f"n{i}w": jnp.ones(C) for i in range(1, 5)},
+            **{f"n{i}b": nrm(C) for i in range(1, 5)}})
+    n_mask = 1 + cfg.num_multimask
+    decoder = {
+        "transformer": {"layers": layers,
+                        "final_t2i": attnp(C, dec_internal),
+                        "nfw": jnp.ones(C), "nfb": nrm(C)},
+        "iou_token": nrm(1, C), "mask_tokens": nrm(n_mask, C),
+        "obj_score_token": nrm(1, C),
+        "up1": conv(2, 2, C, C // 4),
+        "up_ln_w": jnp.ones(C // 4), "up_ln_b": nrm(C // 4),
+        "up2": conv(2, 2, C // 4, C // 8),
+        "conv_s0": conv(1, 1, C, C // 8), "conv_s1": conv(1, 1, C, C // 4),
+        "hyper": [mlp(C, C, C // 8, 3) for _ in range(n_mask)],
+        "iou_head": mlp(C, C, n_mask, 3),
+        "obj_score_head": mlp(C, C, 1, 3)}
+    mem_layers = [{
+        "self_attn": attnp(C, C), "cross_attn": attnp(C, C, dkv=M),
+        "lin1": lin(C, cfg.mem_ffn_dim), "lin2": lin(cfg.mem_ffn_dim, C),
+        **{f"n{i}w": jnp.ones(C) for i in range(1, 4)},
+        **{f"n{i}b": nrm(C) for i in range(1, 4)}}
+        for _ in range(cfg.mem_attn_layers)]
+    memory_attention = {"layers": mem_layers, "nw": jnp.ones(C),
+                        "nb": nrm(C)}
+    md_ch = [1, 4, 16, 64, 256]
+    memory_encoder = {
+        "mask_down": [conv(3, 3, md_ch[i], md_ch[i + 1])
+                      for i in range(4)] + [conv(1, 1, 256, C)],
+        "mask_down_ln": [(jnp.ones(c), nrm(c)) for c in md_ch[1:]],
+        "pix_proj": conv(1, 1, C, C),
+        "fuser": [{"dwconv": conv(7, 7, 1, C),
+                   "nw": jnp.ones(C), "nb": nrm(C),
+                   "pw1": lin(C, 4 * C), "pw2": lin(4 * C, C),
+                   "gamma": nrm(C)} for _ in range(2)],
+        "out_proj": conv(1, 1, C, M)}
+    return {"trunk": trunk, "neck": neck, "prompt": prompt,
+            "decoder": decoder, "memory_attention": memory_attention,
+            "memory_encoder": memory_encoder,
+            "maskmem_tpos_enc": nrm(cfg.num_maskmem, 1, 1, M),
+            "no_mem_embed": nrm(1, 1, C), "no_mem_pos_enc": nrm(1, 1, C),
+            "no_obj_ptr": nrm(1, C), "no_obj_embed_spatial": nrm(1, M),
+            "obj_ptr_proj": mlp(C, C, C, 3),
+            "obj_ptr_tpos_proj": lin(C, M)}
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint mapping
 # ---------------------------------------------------------------------------
 
@@ -546,10 +663,11 @@ def _conv(sd, name):
 
 def _convT(sd, name):
     # torch ConvTranspose2d weight [Cin,Cout,kh,kw]; lax.conv_transpose
-    # with HWIO expects [kh,kw,Cin,Cout] (no spatial flip for its
-    # fractionally-strided formulation with k==s)
-    w = sd.pop(name + ".weight")
-    return {"w": jnp.asarray(np.transpose(w, (2, 3, 0, 1)).copy()),
+    # correlates the zero-dilated input with the kernel, so torch's
+    # semantics need a spatial flip on top of the HWIO transpose
+    w = sd.pop(name + ".weight")[:, :, ::-1, ::-1]
+    return {"w": jnp.asarray(np.ascontiguousarray(
+                np.transpose(w, (2, 3, 0, 1)))),
             "b": jnp.asarray(sd.pop(name + ".bias"))}
 
 

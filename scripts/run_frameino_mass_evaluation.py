@@ -39,6 +39,11 @@ def parse_args():
                    help="released CoTracker3-offline weights; with "
                         "--backends default, runs the JAX tracker "
                         "(models/cotracker.py) instead of torch.hub")
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="released sam2.1_hiera_large.pt weights; with "
+                        "--backends default, runs the JAX SAM2.1 video "
+                        "predictor (models/sam2_video.py) instead of "
+                        "the external sam2 package")
     p.add_argument("--dinov2_checkpoint", default=None,
                    help="released dinov2_vitb14 weights; with "
                         "--backends default, runs the JAX embedder "
@@ -203,7 +208,8 @@ def main():
         from frameino_tpu.evaluation.perception import load_default_backends
         backends = load_default_backends(
             cotracker_checkpoint=args.cotracker_checkpoint,
-            dinov2_checkpoint=args.dinov2_checkpoint)
+            dinov2_checkpoint=args.dinov2_checkpoint,
+            sam2_checkpoint=args.sam2_checkpoint)
     results = mass_evaluation(
         args.output_dir, metrics, backends,
         test_num_frames=49 if is_frame_in else 14,

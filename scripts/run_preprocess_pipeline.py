@@ -80,6 +80,11 @@ def parse_args():
                         "propagated masks from track points, aux "
                         "references, point validation) via the SAM2 "
                         "adapter in evaluation.perception")
+    p.add_argument("--sam2_checkpoint", default=None,
+                   help="released sam2.1_hiera_large.pt weights; with "
+                        "--id_refine sam2, runs the JAX SAM2.1 video "
+                        "predictor (models/sam2_video.py) instead of "
+                        "the external sam2 package")
     p.add_argument("--cotracker_checkpoint", default=None,
                    help="released CoTracker3-offline weights; when set, "
                         "step 7 tracks with the JAX CoTracker3 "
@@ -286,8 +291,12 @@ def main():
         camera_estimator = load_vggt_camera(args.camera_checkpoint)
     id_segmenter = None
     if args.id_refine == "sam2":
-        from frameino_tpu.evaluation.perception import load_sam2
-        id_segmenter = load_sam2()
+        if args.sam2_checkpoint:
+            from frameino_tpu.models.sam2_video import load_sam2_jax
+            id_segmenter = load_sam2_jax(args.sam2_checkpoint)
+        else:
+            from frameino_tpu.evaluation.perception import load_sam2
+            id_segmenter = load_sam2()
     point_tracker = None
     if args.cotracker_checkpoint:
         from frameino_tpu.models.cotracker import load_cotracker_jax
