@@ -256,6 +256,22 @@ def load_qwen_judge(model_path: str = "Qwen/Qwen2.5-VL-32B-Instruct",
     return judge
 
 
+def load_qwen_judge_jax(model_dir: str, llm_fps: int = 1) -> Callable:
+    """Qwen2.5-VL judge running the TPU-native JAX graph
+    (``models/qwen_vl.py``) from a local checkpoint dir — same yes/no
+    contract as ``load_qwen_judge`` without torch compute."""
+    from frameino_tpu.models.qwen_vl import load_qwen_vl_jax
+    run = load_qwen_vl_jax(model_dir, max_new_tokens=8)
+
+    def judge(frames: np.ndarray, prompt: str, is_frame_in: bool) -> str:
+        instruction = (QWEN_FRAME_IN_PROMPT if is_frame_in
+                       else QWEN_FRAME_OUT_PROMPT)
+        ans = run(frames, instruction, fps=llm_fps)
+        return "Yes" if "yes" in ans.lower() else "No"
+
+    return judge
+
+
 def load_vlm_judge_http(endpoint: str, model: str = "qwen2.5-vl",
                         timeout: float = 120.0) -> Callable:
     """OpenAI-compatible HTTP judge (serving-stack deployment): frames
@@ -329,7 +345,8 @@ def load_default_backends(device: str = "cpu",
                           vlm_endpoint: str = None,
                           cotracker_checkpoint: str = None,
                           dinov2_checkpoint: str = None,
-                          sam2_checkpoint: str = None
+                          sam2_checkpoint: str = None,
+                          qwen_checkpoint: str = None
                           ) -> Dict[str, Callable]:
     """Load ALL four real adapters or fail loudly.
 
@@ -339,9 +356,10 @@ def load_default_backends(device: str = "cpu",
     ``vlm_endpoint`` switches the judge to an OpenAI-compatible server;
     ``cotracker_checkpoint`` switches the tracker to the JAX CoTracker3,
     ``dinov2_checkpoint`` the embedder to the JAX DINOv2, and
-    ``sam2_checkpoint`` the segmenter to the JAX SAM2.1 (no torch.hub /
-    ``sam2``-package / network dependency — the whole metric stack runs
-    from local weight files on the TPU).
+    ``sam2_checkpoint`` the segmenter to the JAX SAM2.1, and
+    ``qwen_checkpoint`` the judge to the JAX Qwen2.5-VL (no torch.hub /
+    ``sam2``-package / torch-compute dependency — the whole metric
+    stack runs from local weight files on the TPU).
     """
     backends: Dict[str, Callable] = {}
     errors = []
@@ -353,7 +371,9 @@ def load_default_backends(device: str = "cpu",
         "embedder": (lambda: load_dinov2_checkpoint(dinov2_checkpoint))
         if dinov2_checkpoint else (lambda: load_dinov2(device)),
         "judge": (lambda: load_vlm_judge_http(vlm_endpoint))
-        if vlm_endpoint else (lambda: load_qwen_judge()),
+        if vlm_endpoint
+        else (lambda: load_qwen_judge_jax(qwen_checkpoint))
+        if qwen_checkpoint else (lambda: load_qwen_judge()),
     }
     for name, loader in loaders.items():
         try:

@@ -107,6 +107,22 @@ def load_qwen_captioner(
     return vlm
 
 
+def load_qwen_captioner_jax(
+        model_dir: str,
+        max_new_tokens: int = 128) -> Callable[[np.ndarray, str], str]:
+    """Qwen2.5-VL captioner running the TPU-native JAX graph
+    (``models/qwen_vl.py``) from a local checkpoint dir — same
+    message/processor protocol, no torch compute."""
+    from frameino_tpu.models.qwen_vl import load_qwen_vl_jax
+    run = load_qwen_vl_jax(model_dir, max_new_tokens=max_new_tokens)
+
+    def vlm(frames: np.ndarray, prompt: str) -> str:
+        return run(frames, prompt,
+                   max_pixels=CAPTION_TARGET_HW[0] * CAPTION_TARGET_HW[1])
+
+    return vlm
+
+
 def load_captioner_http(endpoint: str, model: str = "qwen2.5-vl",
                         timeout: float = 300.0,
                         max_tokens: int = 128

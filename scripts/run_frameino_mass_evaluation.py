@@ -48,6 +48,11 @@ def parse_args():
                    help="released dinov2_vitb14 weights; with "
                         "--backends default, runs the JAX embedder "
                         "(models/dinov2.py) instead of torch.hub")
+    p.add_argument("--qwen_checkpoint", default=None,
+                   help="local Qwen2.5-VL checkpoint dir; with "
+                        "--backends default, runs the JAX judge "
+                        "(models/qwen_vl.py) instead of torch "
+                        "transformers")
     p.add_argument("--schema", choices=["new", "old"], default="new",
                    help="CSV schema: 'old' = paper-v1.0 contract "
                         "(video_dataset_motion_FrameINO_old.py)")
@@ -209,7 +214,8 @@ def main():
         backends = load_default_backends(
             cotracker_checkpoint=args.cotracker_checkpoint,
             dinov2_checkpoint=args.dinov2_checkpoint,
-            sam2_checkpoint=args.sam2_checkpoint)
+            sam2_checkpoint=args.sam2_checkpoint,
+            qwen_checkpoint=args.qwen_checkpoint)
     results = mass_evaluation(
         args.output_dir, metrics, backends,
         test_num_frames=49 if is_frame_in else 14,

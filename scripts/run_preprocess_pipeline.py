@@ -59,7 +59,7 @@ def parse_args():
     p.add_argument("--keep_boxes", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--caption_backend", default="qwen",
-                   choices=["qwen", "http", "template"],
+                   choices=["qwen", "qwen_jax", "http", "template"],
                    help="VLM captioner. 'template' is the offline smoke "
                         "opt-in (deterministic content-derived strings, "
                         "NOT real captions).")
@@ -107,6 +107,10 @@ def build_captioner(args):
     from frameino_tpu.preprocess import captioning
     if args.caption_backend == "qwen":
         return captioning.load_qwen_captioner(args.caption_model)
+    if args.caption_backend == "qwen_jax":
+        # --caption_model is a local checkpoint dir here (the JAX
+        # graph loads safetensors directly, models/qwen_vl.py)
+        return captioning.load_qwen_captioner_jax(args.caption_model)
     if args.caption_backend == "http":
         if not args.vlm_endpoint:
             raise SystemExit("--caption_backend http needs --vlm_endpoint")
