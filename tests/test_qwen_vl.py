@@ -168,6 +168,63 @@ def test_generate_parity(tiny_pair):
     assert got == ref_new
 
 
+def test_text_chunked_prefill_parity(tiny_pair):
+    """Sequences longer than the 512-token chunk take the lax.map
+    query-chunked attention path (with a non-multiple tail) — logits
+    must still match transformers exactly."""
+    cfg, tm, params, _ = tiny_pair
+    t = cfg.text
+    S = 700   # > chunk, not a multiple of 512
+    rng = np.random.default_rng(4)
+    embeds = rng.standard_normal((1, S, t.hidden_size),
+                                 dtype=np.float32)
+    pos = np.broadcast_to(np.arange(S), (3, S))
+    with torch.no_grad():
+        hid = tm.model.language_model(
+            inputs_embeds=torch.tensor(embeds),
+            position_ids=torch.tensor(pos.copy())[:, None, :],
+        ).last_hidden_state
+        ref = tm.lm_head(hid).numpy()
+    cos, sin = mrope_tables(pos, t)
+    caches = [(jnp.zeros((1, t.num_kv_heads, S, t.head_dim)),
+               jnp.zeros((1, t.num_kv_heads, S, t.head_dim)))
+              for _ in range(t.num_layers)]
+    mask = jnp.where(jnp.arange(S)[None, :]
+                     <= jnp.arange(S)[:, None], 0.0, -1e30)
+    got, _ = text_forward(params, jnp.asarray(embeds),
+                          jnp.asarray(cos), jnp.asarray(sin),
+                          caches, 0, mask, t)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_tp_sharded_generate_matches_unsharded(tiny_pair):
+    """Megatron-style tp sharding of the LLM (the 32B-on-v5e-8 path)
+    produces identical greedy tokens on an 8-device CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+    from frameino_tpu.models.qwen_vl import shard_qwen_params
+    cfg, _, params, _ = tiny_pair
+    v = cfg.vision
+    grid = (1, 4, 4)
+    ids, _ = _video_prompt(cfg, grid)
+    S_pix = grid[0] * grid[1] * grid[2]
+    rng = np.random.default_rng(5)
+    pixels = rng.standard_normal(
+        (S_pix, 3 * v.temporal_patch_size * v.patch_size ** 2),
+        dtype=np.float32)
+    layout = vision_layout(grid, v)
+    vis = qwen_vision_forward(params, jnp.asarray(pixels), layout, v)
+    pos = get_rope_index(ids, grid, cfg, is_video=True)
+    base = QwenVLGenerator(params, cfg, max_new_tokens=4).generate(
+        ids, vis, pos)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_qwen_params(params, mesh, cfg)
+    got = QwenVLGenerator(sharded, cfg, max_new_tokens=4).generate(
+        ids, vis, pos)
+    assert got == base
+
+
 def test_state_dict_fully_consumed(tiny_pair):
     cfg, _, _, sd = tiny_pair
     sd = dict(sd)
