@@ -171,10 +171,27 @@ def _rotate_half(x):
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
+def _mm(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ p[name+'_w'], dispatching to the w8a8 path when the weight
+    was replaced by ``quantize_qwen_int8`` (name+'_wq'/'_ws': int8
+    kernel + per-out-channel scale; dynamic per-token activation
+    scales — the same scheme as the DiT serving path, models/quant.py)."""
+    if name + "_wq" in p:
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+        xq = jnp.round(xf / s_x).astype(jnp.int8)
+        y = jnp.matmul(xq, p[name + "_wq"],
+                       preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32)
+                * (s_x * p[name + "_ws"])).astype(x.dtype)
+    return x @ p[name + "_w"]
+
+
 def _swiglu(p, x):
-    g = jax.nn.silu(x @ p["gate_w"] + p.get("gate_b", 0.0))
-    u = x @ p["up_w"] + p.get("up_b", 0.0)
-    return (g * u) @ p["down_w"] + p.get("down_b", 0.0)
+    g = jax.nn.silu(_mm(p, "gate", x) + p.get("gate_b", 0.0))
+    u = _mm(p, "up", x) + p.get("up_b", 0.0)
+    return _mm(p, "down", g * u) + p.get("down_b", 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -335,9 +352,9 @@ def _text_layer(lp, x, cos, sin, cache_k, cache_v, idx, mask,
     B, L, C = x.shape
     nh, kvh, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     h = _rms(x, lp["ln1"], cfg.rms_eps)
-    q = (h @ lp["q_w"] + lp["q_b"]).reshape(B, L, nh, hd)
-    k = (h @ lp["k_w"] + lp["k_b"]).reshape(B, L, kvh, hd)
-    v = (h @ lp["v_w"] + lp["v_b"]).reshape(B, L, kvh, hd)
+    q = (_mm(lp, "q", h) + lp["q_b"]).reshape(B, L, nh, hd)
+    k = (_mm(lp, "k", h) + lp["k_b"]).reshape(B, L, kvh, hd)
+    v = (_mm(lp, "v", h) + lp["v_b"]).reshape(B, L, kvh, hd)
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
@@ -375,7 +392,7 @@ def _text_layer(lp, x, cos, sin, cache_k, cache_v, idx, mask,
     else:
         o = _att((q, mask))
     o = o.transpose(0, 2, 1, 3).reshape(B, L, C)
-    x = x + o @ lp["o_w"]
+    x = x + _mm(lp, "o", o)
     h2 = _rms(x, lp["ln2"], cfg.rms_eps)
     return x + _swiglu(lp["mlp"], h2), cache_k, cache_v
 
@@ -513,6 +530,35 @@ def get_rope_index(input_ids: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# int8 w8a8 serving (v5e MXU 2x; 7B fits one chip, 32B fits tp=4)
+# ---------------------------------------------------------------------------
+
+def quantize_qwen_int8(params: Params) -> Params:
+    """Replace the LLM's matmul weights with int8 kernels +
+    per-out-channel scales (same scheme as the certified DiT serving
+    path, ``models/quant.py``; ``_mm`` dispatches). Quantized: q/k/v/o
+    and gate/up/down per layer. Kept high precision: embeddings,
+    lm_head (logit-sensitive), norms, the vision tower. Halves LLM
+    param bytes vs bf16 and runs the MXU at 2x."""
+    from frameino_tpu.models.quant import _quantize_device
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        nl = dict(lp)
+        for name in ("q", "k", "v", "o"):
+            q, s = _quantize_device(nl.pop(name + "_w"))
+            nl[name + "_wq"], nl[name + "_ws"] = q, s
+        mlp = dict(lp["mlp"])
+        for name in ("gate", "up", "down"):
+            q, s = _quantize_device(mlp.pop(name + "_w"))
+            mlp[name + "_wq"], mlp[name + "_ws"] = q, s
+        nl["mlp"] = mlp
+        layers.append(nl)
+    out["layers"] = layers
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Tensor-parallel sharding (32B on a v5e-8: 64 GB bf16 params / 8 chips)
 # ---------------------------------------------------------------------------
 
@@ -538,22 +584,35 @@ def shard_qwen_params(params: Params, mesh, cfg: QwenVLConfig,
     row = functools.partial(put, spec=P(axis, None))
     vec = functools.partial(put, spec=P(axis))
 
+    def put_w(dst, src, name, parallel):
+        """Shard name_w — or its int8 (name_wq, name_ws) pair: the
+        per-out-channel scale follows the out axis (sharded for
+        column-parallel, replicated for row-parallel)."""
+        if name + "_wq" in src:
+            dst[name + "_wq"] = parallel(src[name + "_wq"])
+            dst[name + "_ws"] = (vec if parallel is col else rep)(
+                src[name + "_ws"])
+        else:
+            dst[name + "_w"] = parallel(src[name + "_w"])
+
     out = {"visual": jax.tree.map(rep, params["visual"]),
            "embed_tokens": row(params["embed_tokens"]),
            "norm_w": rep(params["norm_w"]),
            "lm_head": col(params["lm_head"]),
            "layers": []}
     for lp in params["layers"]:
-        out["layers"].append({
-            "ln1": rep(lp["ln1"]), "ln2": rep(lp["ln2"]),
-            "q_w": col(lp["q_w"]), "q_b": vec(lp["q_b"]),
-            "k_w": col(lp["k_w"]), "k_b": vec(lp["k_b"]),
-            "v_w": col(lp["v_w"]), "v_b": vec(lp["v_b"]),
-            "o_w": row(lp["o_w"]),
-            "mlp": {"gate_w": col(lp["mlp"]["gate_w"]),
-                    "up_w": col(lp["mlp"]["up_w"]),
-                    "down_w": row(lp["mlp"]["down_w"])},
-        })
+        nl = {"ln1": rep(lp["ln1"]), "ln2": rep(lp["ln2"]),
+              "q_b": vec(lp["q_b"]), "k_b": vec(lp["k_b"]),
+              "v_b": vec(lp["v_b"])}
+        for name in ("q", "k", "v"):
+            put_w(nl, lp, name, col)
+        put_w(nl, lp, "o", row)
+        mlp = {}
+        for name in ("gate", "up"):
+            put_w(mlp, lp["mlp"], name, col)
+        put_w(mlp, lp["mlp"], "down", row)
+        nl["mlp"] = mlp
+        out["layers"].append(nl)
     return out
 
 
@@ -588,7 +647,8 @@ def load_qwen_vl_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
 
 
 def load_qwen_vl_jax(model_dir: str, max_new_tokens: int = 8,
-                     dtype=jnp.bfloat16, mesh=None):
+                     dtype=jnp.bfloat16, mesh=None,
+                     quantize: Optional[str] = None):
     """TPU-native Qwen2.5-VL runner from a released checkpoint dir:
     returns ``run(frames [T,H,W,3] uint8, instruction str) -> str``.
     Tokenization/video preprocessing use the checkpoint's local
@@ -606,6 +666,10 @@ def load_qwen_vl_jax(model_dir: str, max_new_tokens: int = 8,
             lambda x: x.astype(dtype)
             if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
             else x, params)
+    if quantize == "int8":
+        params = quantize_qwen_int8(params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     if mesh is not None:
         params = shard_qwen_params(params, mesh, cfg)
     processor = AutoProcessor.from_pretrained(model_dir)

@@ -49,6 +49,12 @@ def parse_args():
     p.add_argument("--video_folder", required=True)
     p.add_argument("--output_folder", required=True)
     p.add_argument("--csv_name", default="curated.csv")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="data-parallel curation: split the video list "
+                        "across N independent processes (reference "
+                        "*_multi.py pattern); each writes "
+                        "<csv_name>.shardK.csv")
+    p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--min_frames", type=int, default=49)
     p.add_argument("--min_size", type=int, default=64)
     p.add_argument("--max_aspect", type=float, default=2.5)
@@ -308,6 +314,11 @@ def main():
                                            backward_tracking=True)
     names = sorted(n for n in os.listdir(args.video_folder)
                    if n.endswith((".mp4", ".avi", ".mkv", ".webm")))
+    if args.num_shards > 1:
+        # reference curation parallelism (the *_multi.py scripts shard
+        # the video list across processes by index); each shard writes
+        # its own CSV, concatenated downstream
+        names = names[args.shard_index::args.num_shards]
     for name in names:
         out, reason = process_video(name, args.video_folder, id_folder,
                                     args, vlm=vlm, oneformer=oneformer,
@@ -338,6 +349,9 @@ def main():
                 kept.append(row)
         rows = kept
     os.makedirs(csv_folder, exist_ok=True)
+    if args.num_shards > 1:
+        stem, ext = os.path.splitext(args.csv_name)
+        args.csv_name = f"{stem}.shard{args.shard_index}{ext}"
     write_csv(os.path.join(csv_folder, args.csv_name),
               ["video_path", "height", "width", "valid_duration",
                "Panoptic_Segmentation", "Structured_Text_Prompt",

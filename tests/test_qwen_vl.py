@@ -225,6 +225,58 @@ def test_tp_sharded_generate_matches_unsharded(tiny_pair):
     assert got == base
 
 
+def test_int8_quantized_logits_close(tiny_pair):
+    """w8a8 LLM quantization (quantize_qwen_int8 + the _mm dispatch)
+    keeps logits within the expected dynamic-quant error band, and
+    composes with tp sharding (greedy tokens stable vs unsharded
+    int8)."""
+    import jax
+    from jax.sharding import Mesh
+    from frameino_tpu.models.qwen_vl import (quantize_qwen_int8,
+                                             shard_qwen_params)
+    cfg, _, params, _ = tiny_pair
+    t = cfg.text
+    S = 9
+    rng = np.random.default_rng(6)
+    embeds = rng.standard_normal((1, S, t.hidden_size),
+                                 dtype=np.float32)
+    pos = np.broadcast_to(np.arange(S), (3, S))
+    cos, sin = mrope_tables(pos, t)
+
+    def logits_of(p):
+        caches = [(jnp.zeros((1, t.num_kv_heads, S, t.head_dim)),
+                   jnp.zeros((1, t.num_kv_heads, S, t.head_dim)))
+                  for _ in range(t.num_layers)]
+        mask = jnp.where(jnp.arange(S)[None, :]
+                         <= jnp.arange(S)[:, None], 0.0, -1e30)
+        out, _ = text_forward(p, jnp.asarray(embeds), jnp.asarray(cos),
+                              jnp.asarray(sin), caches, 0, mask, t)
+        return np.asarray(out)
+
+    ref = logits_of(params)
+    qparams = quantize_qwen_int8(params)
+    got = logits_of(qparams)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    # int8 + tp composition: identical graph semantics under sharding
+    grid = (1, 4, 4)
+    ids, _ = _video_prompt(cfg, grid)
+    v = cfg.vision
+    pix = rng.standard_normal(
+        (16, 3 * v.temporal_patch_size * v.patch_size ** 2),
+        dtype=np.float32)
+    layout = vision_layout(grid, v)
+    vis = qwen_vision_forward(qparams, jnp.asarray(pix), layout, v)
+    posr = get_rope_index(ids, grid, cfg, is_video=True)
+    base = QwenVLGenerator(qparams, cfg, max_new_tokens=3).generate(
+        ids, vis, posr)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sq = shard_qwen_params(qparams, mesh, cfg)
+    got_tp = QwenVLGenerator(sq, cfg, max_new_tokens=3).generate(
+        ids, vis, posr)
+    assert got_tp == base
+
+
 def test_state_dict_fully_consumed(tiny_pair):
     cfg, _, _, sd = tiny_pair
     sd = dict(sd)
