@@ -156,15 +156,15 @@ def _gelu(x):
 
 
 def _linear(p, x):
-    return x @ p["w"] + p["b"]
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
 def _conv2d(p, x, stride=1, padding="SAME"):
     """x [B,H,W,Cin]; p['w'] [kh,kw,Cin,Cout] (HWIO)."""
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), padding,
+        x, p["w"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["b"]
+    return y + p["b"].astype(x.dtype)
 
 
 def _sdpa(q, k, v):
@@ -291,7 +291,7 @@ def hiera_forward(params: Params, x: jnp.ndarray, cfg: Sam2Config,
     # N/4 for N%4==0 — lax needs (3,2) to produce the same windows
     if pos_embed is None:
         pos_embed = hiera_pos_embed(p, x.shape[1:3], cfg)
-    x = x + pos_embed
+    x = x + pos_embed.astype(x.dtype)
     outs = []
     for i, spec in enumerate(cfg.block_spec()):
         x = _hiera_block(p["blocks"][i], x, spec)
@@ -462,9 +462,9 @@ def _conv_transpose2x2(p, x):
     """torch ConvTranspose2d(k=2, s=2) on [B,H,W,C]; p['w'] stored HWIO
     (already flipped/transposed from torch's [Cin,Cout,kh,kw])."""
     y = jax.lax.conv_transpose(
-        x, p["w"], (2, 2), "VALID",
+        x, p["w"].astype(x.dtype), (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["b"]
+    return y + p["b"].astype(x.dtype)
 
 
 def _ln2d(x, w, b):

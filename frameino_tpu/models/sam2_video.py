@@ -166,9 +166,10 @@ def _dwconv7(p, x):
     """Depthwise 7x7 conv, padding 3. p['w'] [7,7,1,C]."""
     c = x.shape[-1]
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (1, 1), "SAME", feature_group_count=c,
+        x, p["w"].astype(x.dtype), (1, 1), "SAME",
+        feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["b"]
+    return y + p["b"].astype(x.dtype)
 
 
 def memory_encoder_forward(params: Params, pix_feat: jnp.ndarray,
@@ -355,8 +356,10 @@ class Sam2VideoPredictor:
                          for f in frames])
         imgs = (imgs.astype(np.float32) / 255.0 - self.IMAGENET_MEAN) \
             / self.IMAGENET_STD
-        return {"imgs": imgs, "orig_hw": (H, W), "num_frames": T,
-                "cond": {}, "non_cond": {}}
+        # run activations in the params' dtype (bf16 serving, fp32 tests)
+        dt = self.params["trunk"]["patch_embed"]["w"].dtype
+        return {"imgs": imgs.astype(dt), "orig_hw": (H, W),
+                "num_frames": T, "cond": {}, "non_cond": {}}
 
     def _features(self, state, t):
         feats = self._encode(self.params,

@@ -170,6 +170,80 @@ def test_pp_pipeline_collectives():
             "must stay sharded")
 
 
+def test_qwen_tp_collectives():
+    """Megatron-style tp on the Qwen LLM must lower to exactly the
+    row-parallel all-reduces (o_proj + down_proj per layer, plus the
+    vocab-parallel embed gather / logit reduce) — and must NOT gather
+    any column/row-split weight."""
+    from jax.sharding import Mesh
+    from frameino_tpu.models.qwen_vl import (mrope_tables,
+                                             shard_qwen_params,
+                                             text_forward,
+                                             tiny_qwen_vl_config)
+    from frameino_tpu.models.qwen_vl import qwen_vl_from_state_dict  # noqa: F401
+    cfg = tiny_qwen_vl_config()
+    t = cfg.text
+    # build a random param tree with the real layout (no torch needed)
+    import tests.test_qwen_vl  # noqa: F401  (documents provenance)
+    rng = np.random.default_rng(0)
+
+    def nrm(*s):
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32)
+                           * 0.05)
+
+    layers = []
+    for _ in range(t.num_layers):
+        layers.append({
+            "ln1": jnp.ones(t.hidden_size), "ln2": jnp.ones(t.hidden_size),
+            "q_w": nrm(t.hidden_size, t.num_heads * t.head_dim),
+            "q_b": nrm(t.num_heads * t.head_dim),
+            "k_w": nrm(t.hidden_size, t.num_kv_heads * t.head_dim),
+            "k_b": nrm(t.num_kv_heads * t.head_dim),
+            "v_w": nrm(t.hidden_size, t.num_kv_heads * t.head_dim),
+            "v_b": nrm(t.num_kv_heads * t.head_dim),
+            "o_w": nrm(t.num_heads * t.head_dim, t.hidden_size),
+            "mlp": {"gate_w": nrm(t.hidden_size, t.intermediate_size),
+                    "up_w": nrm(t.hidden_size, t.intermediate_size),
+                    "down_w": nrm(t.intermediate_size, t.hidden_size)}})
+    params = {"visual": {}, "layers": layers,
+              "embed_tokens": nrm(t.vocab_size, t.hidden_size),
+              "norm_w": jnp.ones(t.hidden_size),
+              "lm_head": nrm(t.hidden_size, t.vocab_size)}
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_qwen_params(params, mesh, cfg)
+    S = 8
+    pos = np.broadcast_to(np.arange(S), (3, S))
+    cos, sin = mrope_tables(pos, t)
+
+    def fwd(p, e):
+        caches = [(jnp.zeros((1, t.num_kv_heads, S, t.head_dim)),
+                   jnp.zeros((1, t.num_kv_heads, S, t.head_dim)))
+                  for _ in range(t.num_layers)]
+        mask = jnp.where(jnp.arange(S)[None, :]
+                         <= jnp.arange(S)[:, None], 0.0, -1e30)
+        logits, _ = text_forward(p, e, jnp.asarray(cos),
+                                 jnp.asarray(sin), caches, 0, mask, t)
+        return logits
+
+    e = jnp.zeros((1, S, t.hidden_size))
+    compiled = jax.jit(fwd).lower(sharded, e).compile()
+    inv = audit_collectives(compiled)
+    reduces = (inv.get("all-reduce", {"count": 0})["count"]
+               + inv.get("reduce-scatter", {"count": 0})["count"])
+    # >= 2 row-parallel reduces per layer; bounded (no per-weight
+    # gather storm): a generous cap of 4/layer + 4 for embed/logits
+    assert reduces >= 2 * t.num_layers, format_table("qwen_tp", inv)
+    total = sum(v["count"] for v in inv.values())
+    assert total <= 4 * t.num_layers + 6, format_table("qwen_tp", inv)
+    # no full-weight all-gather of a column/row-split matmul operand:
+    # the largest gathered tensor must stay far below the largest
+    # weight (vocab x hidden)
+    biggest_w = t.vocab_size * t.hidden_size * 4
+    for kind, v in inv.items():
+        if "gather" in kind:
+            assert v["max_single_bytes"] < biggest_w / 2, (kind, v)
+
+
 def test_single_device_has_no_collectives():
     """mesh 1x1x1x1: partitioning must insert nothing."""
     inv = audit_collectives(_compile_denoise(
