@@ -4,3 +4,4 @@ from frameino_tpu.parallel.sharding import (
     activation_spec,
     constrain,
 )
+from frameino_tpu.parallel import multihost
