@@ -121,6 +121,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_block(sp: int, default: int, cap: int = 1408,
+                floor: int = 512) -> int:
+    """Block size for the padded sequence length ``sp``: 1024 when it
+    divides, else the largest 128-multiple divisor in [floor, cap],
+    else ``default``.
+
+    Divisor blocks eliminate the kernel's tail re-pad (e.g. the 49f
+    480x832 shape pads 5632 -> 6144 under block_k=1024: +9% masked
+    work) and larger q blocks cut KV re-read traffic (~ sq/block_q).
+    Measured on v5e (fused producers, B=2 H=24 D=128):
+      sp=5632  (S=5590):  (512,1024) 10.29 ms -> (1408,1408) 9.80 ms
+      sp=19456 (S=19360): (512,1024) 79.5 ms  -> (1024,1024) 73.7 ms
+      sp=5120  (S=5096):  (512,1024) 7.19 ms  -> (1024,1024) 6.76 ms,
+                          but (1280,1280) 7.41 ms — hence prefer 1024
+                          over larger divisors when 1024 divides.
+    cap=1408 bounds the [bq, bk] fp32 probability tile at 7.9 MB VMEM
+    ((1408, 2816) fails scoped-vmem allocation). D=64 (CogVideoX) is a
+    measured LOSS for every variant tried — its path keeps fixed
+    blocks.
+    """
+    if sp % 1024 == 0:
+        return 1024
+    for cand in range(cap, floor - 1, -128):
+        if sp % cand == 0:
+            return cand
+    return min(default, sp)
+
+
 # Test hook: run the Pallas kernel in interpret mode on CPU so the
 # shard_map x pallas_call composition (sp/tp meshes) is exercisable
 # without TPU hardware (tests/test_sp_integration.py).
@@ -291,7 +319,8 @@ def _rope_expand(cos, sin, gain: float = 1.0):
 def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
                              num_heads: int, eps: float,
                              scale: Optional[float] = None,
-                             block_q: int = 512, block_k: int = 1024,
+                             block_q: Optional[int] = None,
+                             block_k: Optional[int] = None,
                              interpret: bool = False):
     """Flash attention with the qk-norm + interleaved-RoPE producers
     fused into the kernel.
@@ -339,10 +368,14 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
         vh = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
     # main flash kernel on the pre-processed tensors; q is already
-    # scaled, padded k columns masked via the true kv_len
+    # scaled, padded k columns masked via the true kv_len. Block sizes
+    # default to the divisor policy (_auto_block): no tail re-pad,
+    # larger q blocks.
+    bq = block_q if block_q is not None else _auto_block(sp, 512)
+    bk = block_k if block_k is not None else _auto_block(sp, 1024)
     out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
-                     vh, scale=None, block_q=min(block_q, sp),
-                     block_k=min(block_k, sp), kv_len=S, prescaled=True,
+                     vh, scale=None, block_q=min(bq, sp),
+                     block_k=min(bk, sp), kv_len=S, prescaled=True,
                      interpret=interpret)
     if pad:
         out = out[:, :, :S]
@@ -414,7 +447,8 @@ def fused_ln_qk_flash_attention(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                                 cos, sin, *, num_heads: int,
                                 head_dim: int, eps: float,
                                 scale: Optional[float] = None,
-                                block_q: int = 512, block_k: int = 1024,
+                                block_q: Optional[int] = None,
+                                block_k: Optional[int] = None,
                                 interpret: bool = False):
     """CogVideoX joint self-attention with the per-head-LayerNorm +
     RoPE producers fused into Pallas passes (the wan variant's
@@ -446,9 +480,15 @@ def fused_ln_qk_flash_attention(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                          head_dim=D, eps=eps, block_s=block_s,
                          interpret=interpret)
     vh = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else v
+    # NOTE: the _auto_block divisor policy is a measured LOSS at this
+    # path's head_dim=64 (joint 19.5k tokens on v5e: (512,1024) 172 ms
+    # vs (768,768) 200 ms, (512,1664) 181 ms, (768,1664) 180 ms) —
+    # keep the fixed blocks here; divisor blocks win only at D=128.
+    bq = block_q if block_q is not None else min(512, sp)
+    bk = block_k if block_k is not None else min(1024, sp)
     out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
-                     vh, scale=None, block_q=min(block_q, sp),
-                     block_k=min(block_k, sp), kv_len=S, prescaled=True,
+                     vh, scale=None, block_q=bq,
+                     block_k=bk, kv_len=S, prescaled=True,
                      interpret=interpret)
     if pad:
         out = out[:, :, :S]

@@ -170,3 +170,23 @@ def test_fused_qk_flash_matches_unfused(S):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_auto_block_divisor_policy():
+    """Divisor blocks at the production padded lengths; safe fallbacks."""
+    from frameino_tpu.ops.attention import _auto_block
+
+    assert _auto_block(5632, 1024) == 1408      # 49f@480x832 (+ID) padded
+    assert _auto_block(5632, 512) == 1408
+    assert _auto_block(19456, 1024) == 1024     # flagship 704x1280x81f
+    assert _auto_block(5120, 512) == 1024       # 49f@448x832: 1024 > 1280
+    # no 128-multiple divisor in [512, 1408] -> fall back to default
+    assert _auto_block(5120 + 128, 1024) == 1024
+    # tiny test shapes: default capped at the sequence itself
+    assert _auto_block(128, 512) == 128
+    assert _auto_block(256, 1024) == 256
+    # the VMEM bound: picked blocks never exceed 1408 (the (1408, 2816)
+    # probability tile fails scoped-vmem allocation on v5e)
+    for sp in (512, 1024, 2816, 5632, 11264, 19456, 19968):
+        assert _auto_block(sp, 1024) <= 1408
+        assert sp % _auto_block(sp, 1024) == 0 or _auto_block(sp, 1024) <= 1024
