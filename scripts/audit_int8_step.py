@@ -1,0 +1,126 @@
+"""Audit the REAL int8 bench step's compiled TPU executable.
+
+Runs bench.py's exact denoise-step program (Wan2.2-5B FrameINO, CFG
+pair, 49f@480x832, 4-step scan) through ``core/hlo_audit`` on the real
+TPU backend and verifies the device-op inventory:
+
+  * every quantized kernel leaf executes as one s8 x s8 -> s32 matmul
+    in the scanned block body (no silent dequantize-to-float rewrite);
+  * every other matmul is bf16/f32 by design (embedders, AdaLN, patch
+    and proj_out stay full precision — models/quant.py);
+  * the only custom-calls are the Pallas kernels (flash attention +
+    fused qk-norm/RoPE producers).
+
+Prints one JSON line with the inventory; exits nonzero on any anomaly.
+This is the "int8-step device-op trace" follow-through of VERDICT r2
+weak #2 — the quality certification (scripts/certify_int8.py) pins
+WHAT the int8 path computes; this pins HOW the TPU executes it.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))       # repo root (bench.py lives there)
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from frameino_tpu.core import hlo_audit
+from frameino_tpu.core.tree import flatten
+from frameino_tpu.models import wan_dit
+from frameino_tpu.models.quant import quantize_dit_int8
+from frameino_tpu.schedulers.flow_match_euler import euler_step
+
+
+def main():
+    cfg = wan_dit.WAN22_TI2V_5B_MOTION
+    params = quantize_dit_int8(bench.zeros_params(cfg), donate=True)
+    n_q = sum(1 for k in flatten(params) if k.endswith(".kernel_q"))
+
+    B, F, H, W = bench.B, bench.F, bench.H, bench.W
+    S_frame = (H // 2) * (W // 2)
+    S_tokens = (F + bench.N_ID) * S_frame
+    z = cfg.out_channels
+    id_lat = jnp.zeros((B, z, bench.N_ID, H, W), jnp.float32)
+    traj = jnp.zeros((B, z, F + bench.N_ID, H, W), jnp.float32)
+    text = jnp.zeros((2 * B, bench.TEXT_LEN, cfg.text_dim), jnp.bfloat16)
+    ts = jnp.full((2 * B,), 900.0, jnp.float32)
+    mask = jnp.concatenate(
+        [jnp.zeros((2 * B, S_frame), jnp.float32),
+         jnp.ones((2 * B, S_tokens - S_frame), jnp.float32)], axis=1)
+    latents = jnp.zeros((B, z, F, H, W), jnp.float32)
+
+    @jax.jit
+    def denoise_steps(params, latents, id_lat, traj, ts, text):
+        def body(lat, _):
+            lat_in = jnp.concatenate([lat, id_lat], axis=2)
+            lat_in = jnp.concatenate([lat_in, traj], axis=1)
+            x = jnp.concatenate([lat_in, lat_in], axis=0).astype(jnp.bfloat16)
+            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, text,
+                                           timestep_mask=mask,
+                                           attn_impl="pallas")
+            cond, uncond = jnp.split(pred, 2, axis=0)
+            noise_pred = uncond + 5.0 * (cond - uncond)
+            return euler_step(lat, noise_pred[:, :, :F], 0.9, 0.88), None
+
+        lat, _ = jax.lax.scan(body, latents, None,
+                              length=bench.STEPS_PER_CALL)
+        return lat[0, 0, 0, 0, 0]
+
+    hlo = denoise_steps.lower(params, latents, id_lat, traj, ts,
+                              text).compile().as_text()
+
+    mms = hlo_audit.audit_matmuls(hlo)
+    counts = hlo_audit.summarize(mms)
+    calls = hlo_audit.audit_custom_calls(hlo)
+    call_targets = sorted({c.target for c in calls})
+
+    problems = []
+    try:
+        # the f32xbf16 signature is the fp32-activation policy meeting
+        # bf16-stored weights (time/AdaLN embedders keep f32 activations
+        # per _keep_in_fp32_modules; models/wan_dit.py dtype policy)
+        hlo_audit.assert_int8_step(
+            hlo, n_q, allow_float_sigs=(
+                "bf16xbf16->f32", "bf16xbf16->bf16", "f32xf32->f32",
+                "f32xbf16->f32", "bf16xf32->f32"))
+    except AssertionError as e:
+        problems.append(str(e))
+    # exactly 7 full-precision matmuls per forward, all by design:
+    # time-embed MLP (2: [2,2,3072] bf16 + f32xbf16), AdaLN table
+    # projection ([2,2,6*3072] f32xbf16), text-embed MLP (2x
+    # [2,512,3072]), patch embedding ([2,S,3072]) and proj_out
+    # ([2,S,192]) — the quality-sensitive, FLOP-negligible set
+    # models/quant.py deliberately keeps unquantized
+    n_float = sum(c for sig, c in counts.items() if sig != "s8xs8->s32")
+    if n_float != 7:
+        problems.append(
+            f"expected 7 full-precision matmuls (embedders/patch/"
+            f"proj_out), found {n_float}: {counts}")
+    # Pallas lowers to tpu_custom_call; ConcatBitcast is a TPU-internal
+    # layout optimization. Anything else would be an unexpected escape
+    # from XLA (host callback, unlowered op, ...)
+    unexpected = [t for t in call_targets
+                  if t not in ("tpu_custom_call", "ConcatBitcast",
+                               "Sharding", "SPMDFullToShardShape",
+                               "SPMDShardToFullShape")]
+    if unexpected:
+        problems.append(f"unexpected custom-call targets: {unexpected}")
+
+    print(json.dumps({
+        "metric": "int8_step_op_audit",
+        "quantized_kernel_leaves": n_q,
+        "matmul_signatures": counts,
+        "custom_call_targets": call_targets,
+        "n_custom_calls": len(calls),
+        "ok": not problems,
+        "problems": problems,
+    }))
+    sys.exit(1 if problems else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,10 +94,11 @@ def main():
 
     output_dir = os.path.join(config.get("output_folder", "checkpoints"),
                               config.get("experiment_name", "cog_fino"))
+    start_meta = {}
     if config.get("resume_from_checkpoint") == "latest":
         latest = latest_checkpoint(output_dir)
         if latest:
-            state, _ = restore_checkpoint(latest, state)
+            state, start_meta = restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
     ds_cfg = FrameINODatasetConfig(**filter_kwargs(
@@ -152,14 +153,17 @@ def main():
         }
 
     num_workers = int(config.get("dataloader_num_workers", 2))
+    from frameino_tpu.data.sampler import ResumableEpochIterator
+    data_iter = ResumableEpochIterator(sampler, start_meta)
     while step_count < max_steps:
-        sampler.set_epoch(step_count)
-        for batch in BatchPrefetcher(make_batch, sampler,
+        for batch in BatchPrefetcher(make_batch,
+                                     data_iter.epoch(step_count),
                                      num_workers=num_workers):
             from frameino_tpu.core.metrics_logger import maybe_profile
             with maybe_profile(args.profile_dir
                                if step_count == 2 else None):
                 state, m = step_fn(state, vae_params, batch, key)
+            data_iter.advance()
             step_count = int(state.step)
             if step_count % 10 == 0 or args.smoke:
                 loss = float(m["loss"])
@@ -169,11 +173,15 @@ def main():
                       f"({time.time() - t0:.1f}s)")
             if step_count % ckpt_every == 0:
                 save_checkpoint(output_dir, step_count, state,
+                                metadata=data_iter.meta(),
                                 total_limit=config.get(
                                     "checkpoints_total_limit"))
             if step_count >= max_steps:
                 break
+        else:
+            data_iter.end_epoch()
     save_checkpoint(output_dir, step_count, state,
+                    metadata={"final": True, **data_iter.meta()},
                     total_limit=config.get("checkpoints_total_limit"))
     mlog.close()
     print(f"done at step {step_count}")

@@ -235,14 +235,17 @@ def main():
             }
 
         num_workers = int(config.get("dataloader_num_workers", 2))
+        from frameino_tpu.data.sampler import ResumableEpochIterator
+        data_iter = ResumableEpochIterator(sampler, start_meta)
         while step_count < max_steps:
-            sampler.set_epoch(step_count)
-            for batch in BatchPrefetcher(make_batch, sampler,
+            for batch in BatchPrefetcher(make_batch,
+                                         data_iter.epoch(step_count),
                                          num_workers=num_workers):
                 with maybe_profile(args.profile_dir
                                    if step_count == 2 else None):
                     state, metrics = step_fn(state, vae_params, batch,
                                              rng_key)
+                data_iter.advance()
                 step_count = int(state.step)
                 if step_count % log_every == 0 or args.smoke:
                     loss = float(metrics["loss"])
@@ -258,13 +261,15 @@ def main():
                 if step_count % ckpt_every == 0:
                     save_checkpoint(
                         output_dir, step_count, state,
-                        metadata={"epoch": step_count},
+                        metadata=data_iter.meta(),
                         total_limit=config.get("checkpoints_total_limit"))
                 if step_count >= max_steps:
                     break
+            else:
+                data_iter.end_epoch()
 
         save_checkpoint(output_dir, step_count, state,
-                        metadata={"final": True},
+                        metadata={"final": True, **data_iter.meta()},
                         total_limit=config.get("checkpoints_total_limit"))
         mlog.close()
         print(f"done at step {step_count}")

@@ -150,6 +150,68 @@ class TestSampler:
         assert a != b
 
 
+class TestResumableEpochIterator:
+    """Mid-epoch checkpoint/resume replays exactly the uninterrupted
+    batch sequence (beyond the reference, which only restores the epoch
+    number — train_wan_motion_FrameINO.py:1096)."""
+
+    def _uninterrupted(self, n_epochs):
+        from frameino_tpu.data.sampler import ResumableEpochIterator
+        s = MixedBatchSampler([10, 6], batch_size=2, seed=3)
+        it = ResumableEpochIterator(s)
+        out = []
+        for e in range(n_epochs):
+            for b in it.epoch(default_seed=len(out)):
+                out.append(b)
+                it.advance()
+            it.end_epoch()
+        return out
+
+    def test_mid_epoch_resume_exact_continuation(self):
+        import json
+        from frameino_tpu.data.sampler import ResumableEpochIterator
+
+        ref = self._uninterrupted(2)
+        for stop_after in (1, 3, 7, 8, 11):   # incl. an epoch boundary
+            s = MixedBatchSampler([10, 6], batch_size=2, seed=3)
+            it = ResumableEpochIterator(s)
+            consumed = []
+            # run until "interrupted" after stop_after batches
+            while len(consumed) < stop_after:
+                for b in it.epoch(default_seed=len(consumed)):
+                    consumed.append(b)
+                    it.advance()
+                    if len(consumed) >= stop_after:
+                        break
+                else:
+                    it.end_epoch()
+            # checkpoint metadata must round-trip through JSON
+            meta = json.loads(json.dumps(it.meta()))
+            # resume in a fresh process: new sampler + iterator from meta
+            s2 = MixedBatchSampler([10, 6], batch_size=2, seed=3)
+            it2 = ResumableEpochIterator(s2, meta)
+            while len(consumed) < len(ref):
+                for b in it2.epoch(default_seed=len(consumed)):
+                    consumed.append(b)
+                    it2.advance()
+                    if len(consumed) >= len(ref):
+                        break
+                else:
+                    it2.end_epoch()
+            assert consumed == ref, f"diverged after resume@{stop_after}"
+
+    def test_fresh_start_meta_is_inert(self):
+        from frameino_tpu.data.sampler import ResumableEpochIterator
+        s = MixedBatchSampler([8], batch_size=2, seed=1)
+        # a final-save metadata blob ({"final": True, epoch_seed: None})
+        # must behave exactly like no metadata
+        it = ResumableEpochIterator(
+            s, {"final": True, "epoch_seed": None, "batches_done": 3})
+        assert it.epoch(default_seed=0) == \
+            ResumableEpochIterator(MixedBatchSampler(
+                [8], batch_size=2, seed=1)).epoch(default_seed=0)
+
+
 class TestFlowUtils:
     def test_gaussian_kernel_normalized(self):
         k = bivariate_gaussian(45, 3, 3, 0, isotropic=True)

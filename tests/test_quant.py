@@ -124,3 +124,33 @@ def test_quantize_donate_invalidates_input():
     got = quantize_dit_int8(params, donate=True)
     for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_int8_step_hlo_audit():
+    """Device-op audit: the compiled int8 forward runs EVERY quantized
+    kernel as an s8 x s8 -> s32 matmul — one per stacked kernel_q leaf
+    (the scanned block body appears once in the HLO) — and nothing else
+    but allowed float matmuls. A silent XLA dequantize-and-float-dot
+    rewrite would pass the numeric tests while forfeiting the 2x MXU
+    rate; this pins the executable itself (core/hlo_audit)."""
+    from frameino_tpu.core import hlo_audit
+    from frameino_tpu.core.tree import flatten
+
+    cfg = wan_dit.tiny_config()
+    params = wan_dit.init_wan_dit(jax.random.key(0), cfg)
+    qp = quantize_dit_int8(params)
+    n_q = sum(1 for k in flatten(qp) if k.endswith(".kernel_q"))
+    assert n_q == 10  # (to_q,to_k,to_v,to_out) x (attn1,attn2) + fc1,fc2
+
+    B, F, H, W = 1, 3, 4, 4
+    x = jax.random.normal(jax.random.key(1), (B, cfg.in_channels, F, H, W))
+    t = jnp.asarray([500.0])
+    text = jax.random.normal(jax.random.key(2), (B, 4, cfg.text_dim))
+    f = jax.jit(lambda p, a, b, c: wan_dit.wan_dit_forward(cfg, p, a, b, c))
+    hlo = f.lower(qp, x, t, text).compile().as_text()
+    counts = hlo_audit.assert_int8_step(hlo, n_q)
+    assert counts["s8xs8->s32"] == 10
+    # bf16 path: same invariant holds when activations are bf16
+    hlo_bf16 = f.lower(qp, x.astype(jnp.bfloat16), t,
+                       text.astype(jnp.bfloat16)).compile().as_text()
+    hlo_audit.assert_int8_step(hlo_bf16, n_q)

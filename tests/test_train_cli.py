@@ -93,6 +93,12 @@ def test_train_and_resume(smoke_env):
     assert "done at step 2" in r.stdout, r.stdout
     ckpt_dir = root / "ckpts" / "smoke"
     assert (ckpt_dir / "checkpoint-2").exists()
+    # data-iterator state rides in the checkpoint metadata so a resumed
+    # run continues the interrupted epoch exactly (ResumableEpochIterator)
+    import json
+    meta = json.loads((ckpt_dir / "checkpoint-2" / "metadata.json")
+                      .read_text())
+    assert "epoch_seed" in meta and "batches_done" in meta, meta
     # first-iter validation smoke-tests the whole inference stack
     val_dir = ckpt_dir / "validation_step0"
     assert (val_dir / "generated.mp4").exists()
