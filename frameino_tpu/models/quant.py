@@ -112,3 +112,66 @@ def quantize_dit_int8(params: Params, donate: bool = False) -> Params:
 # aliases per model family (same patterns cover both)
 quantize_wan_dit_int8 = quantize_dit_int8
 quantize_cogvideox_dit_int8 = quantize_dit_int8
+
+
+# ---------------------------------------------------------------------------
+# VAE conv quantization (decoder/encoder w8a8 serving path)
+# ---------------------------------------------------------------------------
+
+# conv param-dict names inside resblocks/resamplers worth quantizing.
+# Kept full precision: conv_in / conv_out (first/last pixel-facing
+# convs), quant_conv/post_quant_conv (1x1, negligible), attention
+# to_qkv/proj (dense einsums, tiny FLOPs at latent resolution).
+_VAE_CONV_NAMES = ("conv1", "conv2", "conv_shortcut", "conv", "time_conv")
+
+
+def _quantize_conv_kernel(w) -> tuple:
+    """[k..., cin, cout] -> int8 kernel + per-cout fp32 scale (reduce
+    over every axis but the last)."""
+    if isinstance(w, np.ndarray):
+        wf = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(wf), axis=tuple(range(wf.ndim - 1)))
+        scale = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+        q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+        return q, scale
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1)))
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_wan_vae_int8(params: Params) -> Params:
+    """int8 w8a8 serving transform for the Wan VAE param tree
+    (``models/wan_vae.py`` nested dict/list layout; the streaming and
+    tiled/hybrid variants share the same apply fns so they inherit the
+    quantized path automatically via the ops-layer dispatch in
+    ``ops/conv.py``).
+
+    Opt-in and inference-only: measured ~1.35x on decoder conv time
+    (ROADMAP.md); training VAE encodes stay bf16/f32. Quality must be
+    certified per checkpoint like the DiT path
+    (``scripts/certify_int8.py --quantize_vae``).
+    """
+    n_quantized = 0
+
+    def walk(node, name):
+        nonlocal n_quantized
+        if isinstance(node, dict):
+            if (name in _VAE_CONV_NAMES and "kernel" in node
+                    and getattr(node["kernel"], "ndim", 0) in (4, 5)):
+                q, s = _quantize_conv_kernel(node["kernel"])
+                n_quantized += 1
+                out = {"kernel_q": q, "scale": s}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [walk(v, name) for v in node]
+        return node
+
+    out = walk(params, "")
+    if not n_quantized:
+        raise ValueError("no VAE conv kernels matched the int8 patterns")
+    return out

@@ -54,10 +54,14 @@ def _cconv_fwd(x, p, cache, padding, stride=(1, 1, 1)):
         x = jnp.concatenate([cache, x], axis=1)
         front -= cache.shape[1]
     st, sh, sw = _triple(stride) if not isinstance(stride, tuple) else stride
+    pads = ((front, 0), (ph, ph), (pw, pw))
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    if "kernel_q" in p:   # int8 w8a8 serving path (quantize_wan_vae_int8)
+        return cops._conv_int8(x, p["kernel_q"], p["scale"], p.get("bias"),
+                               (st, sh, sw), pads, dn)
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), window_strides=(st, sh, sw),
-        padding=((front, 0), (ph, ph), (pw, pw)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        padding=pads, dimension_numbers=dn,
         preferred_element_type=jnp.float32)
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 

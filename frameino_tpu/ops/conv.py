@@ -37,11 +37,37 @@ def _triple(x: IntOr3) -> Tuple[int, int, int]:
     return (x, x, x) if isinstance(x, int) else tuple(x)
 
 
-def causal_conv3d(x: jax.Array, kernel: jax.Array,
+def _conv_int8(x: jax.Array, kernel_q: jax.Array, scale: jax.Array,
+               bias: Optional[jax.Array], window_strides, padding,
+               dimension_numbers) -> jax.Array:
+    """w8a8 conv core: symmetric per-output-channel weight scales +
+    dynamic per-tensor activation scale (v5e int8 MXU ~1.35x the bf16
+    conv rate at VAE decoder shapes — measured in ROADMAP.md; the
+    per-token scheme of ``ops/linear.dense_int8`` has no conv analogue,
+    and per-tensor is what conv activations tolerate post-norm)."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    o = jax.lax.conv_general_dilated(
+        xq, kernel_q,
+        window_strides=window_strides,
+        padding=padding,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.int32,
+    )
+    y = o.astype(jnp.float32) * (s_x * scale.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def causal_conv3d(x: jax.Array, kernel: Optional[jax.Array] = None,
                   bias: Optional[jax.Array] = None,
                   stride: IntOr3 = 1,
                   padding: IntOr3 = 0,
-                  accum_dtype=jnp.float32) -> jax.Array:
+                  accum_dtype=jnp.float32,
+                  kernel_q: Optional[jax.Array] = None,
+                  scale: Optional[jax.Array] = None) -> jax.Array:
     """Causal 3D conv, channels-last.
 
     x: [B, T, H, W, Cin]; kernel: [kt, kh, kw, Cin, Cout] (DHWIO).
@@ -49,14 +75,22 @@ def causal_conv3d(x: jax.Array, kernel: jax.Array,
     (reference ``WanCausalConv3d.__init__``: ``self._padding =
     (pw, pw, ph, ph, 2*pt, 0)``, ``architecture/autoencoder_kl_wan.py:166``).
     Spatial padding is symmetric.
+
+    When the param dict carries an int8 kernel (``kernel_q`` +
+    per-output-channel ``scale`` — ``models/quant.quantize_wan_vae_int8``)
+    the w8a8 path runs instead; call sites splat params unchanged.
     """
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
+    pads = ((2 * pt, 0), (ph, ph), (pw, pw))
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    if kernel_q is not None:
+        return _conv_int8(x, kernel_q, scale, bias, (st, sh, sw), pads, dn)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(st, sh, sw),
-        padding=((2 * pt, 0), (ph, ph), (pw, pw)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        padding=pads,
+        dimension_numbers=dn,
         preferred_element_type=accum_dtype,
     )
     if bias is not None:
@@ -64,18 +98,24 @@ def causal_conv3d(x: jax.Array, kernel: jax.Array,
     return y.astype(x.dtype)
 
 
-def conv3d(x: jax.Array, kernel: jax.Array,
+def conv3d(x: jax.Array, kernel: Optional[jax.Array] = None,
            bias: Optional[jax.Array] = None,
            stride: IntOr3 = 1,
            padding: Union[str, Sequence[Tuple[int, int]]] = "VALID",
-           accum_dtype=jnp.float32) -> jax.Array:
+           accum_dtype=jnp.float32,
+           kernel_q: Optional[jax.Array] = None,
+           scale: Optional[jax.Array] = None) -> jax.Array:
     """Plain 3D conv (used for the DiT Conv3d patch embedding)."""
     st, sh, sw = _triple(stride) if not isinstance(stride, tuple) else stride
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    if kernel_q is not None:
+        return _conv_int8(x, kernel_q, scale, bias, (st, sh, sw), padding,
+                          dn)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(st, sh, sw),
         padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=dn,
         preferred_element_type=accum_dtype,
     )
     if bias is not None:
@@ -83,18 +123,23 @@ def conv3d(x: jax.Array, kernel: jax.Array,
     return y.astype(x.dtype)
 
 
-def conv2d(x: jax.Array, kernel: jax.Array,
+def conv2d(x: jax.Array, kernel: Optional[jax.Array] = None,
            bias: Optional[jax.Array] = None,
            stride: Union[int, Tuple[int, int]] = 1,
            padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
-           accum_dtype=jnp.float32) -> jax.Array:
+           accum_dtype=jnp.float32,
+           kernel_q: Optional[jax.Array] = None,
+           scale: Optional[jax.Array] = None) -> jax.Array:
     """2D conv, channels-last. x: [N, H, W, C]; kernel: [kh, kw, Cin, Cout]."""
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    dn = ("NHWC", "HWIO", "NHWC")
+    if kernel_q is not None:
+        return _conv_int8(x, kernel_q, scale, bias, s, padding, dn)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=s,
         padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=dn,
         preferred_element_type=accum_dtype,
     )
     if bias is not None:

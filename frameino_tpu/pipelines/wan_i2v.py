@@ -384,6 +384,7 @@ class WanImageToVideoPipeline:
                  image_encoder_fn=None,
                  dit_params_2: Optional[Params] = None,
                  quantize: Optional[str] = None,
+                 quantize_vae: bool = False,
                  mesh=None):
         if quantize == "int8":
             # w8a8 serving config: 2x MXU throughput on v5e (measured
@@ -394,6 +395,12 @@ class WanImageToVideoPipeline:
                 dit_params_2 = quantize_dit_int8(dit_params_2, donate=True)
         elif quantize is not None:
             raise ValueError(f"unsupported quantize={quantize!r}")
+        if quantize_vae:
+            # separate opt-in: pixel-facing, so certify per checkpoint
+            # (scripts/certify_int8.py --quantize_vae); inner resblock/
+            # resample convs only — conv_in/conv_out stay full precision
+            from frameino_tpu.models.quant import quantize_wan_vae_int8
+            vae_params = quantize_wan_vae_int8(vae_params)
         self.dit_cfg = dit_cfg
         self.dit_params = dit_params
         self.dit_params_2 = dit_params_2

@@ -64,6 +64,13 @@ def main():
         elif v == "tiled256":
             run("tiled-256/192", lambda: tiled_decode(
                 vae_cfg, vae_params, z, tile_min=256, tile_stride=192))
+        elif v.startswith("int8hybrid"):
+            from frameino_tpu.models.quant import quantize_wan_vae_int8
+            n = int(v.removeprefix("int8hybrid"))
+            qvae = quantize_wan_vae_int8(vae_params)
+            run(f"int8-hyb/c{n}", lambda n=n: hybrid_decode(
+                vae_cfg, qvae, z, tile_min=256, tile_stride=192,
+                chunk_latent_frames=n))
         elif v.startswith("hybrid"):
             n = int(v.removeprefix("hybrid"))
             run(f"hybrid-256/c{n}", lambda n=n: hybrid_decode(

@@ -40,6 +40,7 @@ def zeros_like_tree(shapes):
 def main():
     global H, W, F
     int8 = "--int8" in sys.argv
+    int8_vae = "--int8_vae" in sys.argv
     flagship = "--flagship" in sys.argv
     if flagship:
         H, W, F = 704, 1280, 81
@@ -52,6 +53,11 @@ def main():
         dit_params = quantize_dit_int8(dit_params, donate=True)
     vae_params = zeros_like_tree(jax.eval_shape(
         lambda k: wan_vae.init_wan_vae(k, vae_cfg), jax.random.key(0)))
+    if int8_vae:
+        # w8a8 inner convs (measured hybrid decode 4.01 -> 2.78 s);
+        # certify quality per checkpoint: certify_int8.py --quantize_vae
+        from frameino_tpu.models.quant import quantize_wan_vae_int8
+        vae_params = quantize_wan_vae_int8(vae_params)
 
     key = jax.random.key(0)
     image = jnp.zeros((1, 3, H, W), jnp.float32)
@@ -127,7 +133,8 @@ def main():
         "metric": ("wan22_5b_frameino_sec_per_81f_704x1280_clip"
                    if flagship else
                    "wan22_5b_frameino_sec_per_49f_448x832_clip")
-                  + ("_int8" if int8 else ""),
+                  + ("_int8" if int8 else "")
+                  + ("_int8vae" if int8_vae else ""),
         "value": round(total, 2),
         "unit": "seconds (VAE encodes + 50-step CFG denoise + hybrid decode)",
         "denoise_s": round(denoise_s, 2),

@@ -94,7 +94,7 @@ def make_fixture(root: str):
 
 
 def run_eval(cfg_path: str, out_dir: str, family: str, quantize: bool,
-             timeout: int = 1800) -> dict:
+             timeout: int = 1800, quantize_vae: bool = False) -> dict:
     cmd = [sys.executable,
            os.path.join(REPO, "scripts", "run_frameino_mass_evaluation.py"),
            "--config_path", cfg_path, "--output_dir", out_dir,
@@ -102,6 +102,8 @@ def run_eval(cfg_path: str, out_dir: str, family: str, quantize: bool,
            "--num_instances", "1", "--backends", "naive"]
     if quantize:
         cmd += ["--quantize", "int8"]
+    if quantize_vae:
+        cmd += ["--quantize_vae"]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(cmd, capture_output=True, text=True,
@@ -124,11 +126,13 @@ def video_psnr(path_a: str, path_b: str) -> float:
     return 10.0 * np.log10(255.0 ** 2 / mse)
 
 
-def certify_family(cfg_path: str, out_root: str, family: str) -> dict:
+def certify_family(cfg_path: str, out_root: str, family: str,
+                   quantize_vae: bool = False) -> dict:
     bf16_dir = os.path.join(out_root, f"{family}_bf16")
     int8_dir = os.path.join(out_root, f"{family}_int8")
     bf16 = run_eval(cfg_path, bf16_dir, family, quantize=False)
-    int8 = run_eval(cfg_path, int8_dir, family, quantize=True)
+    int8 = run_eval(cfg_path, int8_dir, family, quantize=True,
+                    quantize_vae=quantize_vae and family == "wan")
     report = {"metrics": {}, "pass": True}
     for metric, budget in BUDGETS.items():
         if metric not in bf16:
@@ -157,13 +161,18 @@ def main():
     p.add_argument("--report", default=None,
                    help="where to write the certification JSON "
                         "(default <output_dir>/INT8_PARITY.json)")
+    p.add_argument("--quantize_vae", action="store_true",
+                   help="certify the int8 side WITH the Wan VAE's "
+                        "inner convs also quantized (w8a8 serving "
+                        "decode; models/quant.quantize_wan_vae_int8)")
     args = p.parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
     cfg_path = make_fixture(args.output_dir)
     report = {}
     ok = True
     for family in args.families:
-        report[family] = certify_family(cfg_path, args.output_dir, family)
+        report[family] = certify_family(cfg_path, args.output_dir, family,
+                                        quantize_vae=args.quantize_vae)
         ok &= report[family]["pass"]
         print(f"{family}: {'PASS' if report[family]['pass'] else 'FAIL'} "
               f"{json.dumps(report[family]['metrics'])}")

@@ -59,6 +59,10 @@ def parse_args():
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="int8 w8a8 serving config for the DiT (v5e 2x "
                         "MXU throughput; models/quant.py)")
+    p.add_argument("--quantize_vae", action="store_true",
+                   help="also quantize the Wan VAE's inner convs to "
+                        "int8 w8a8 (~1.35x decoder conv rate; wan "
+                        "family only)")
     return p.parse_args()
 
 
@@ -93,8 +97,12 @@ def build_pipeline(args, config):
             vae_params = load_wan_vae_weights(vp, vae_cfg)
         return WanImageToVideoPipeline(dit_cfg, dit_params, vae_cfg,
                                        vae_params,
-                                       quantize=args.quantize), dit_cfg
+                                       quantize=args.quantize,
+                                       quantize_vae=args.quantize_vae), \
+            dit_cfg
     else:
+        if args.quantize_vae:
+            raise SystemExit("--quantize_vae supports the wan family only")
         from frameino_tpu.models import cogvideox_dit, cogvideox_vae
         from frameino_tpu.pipelines.cogvideox_i2v import (
             CogPipelineConfig, CogVideoXImageToVideoPipeline)

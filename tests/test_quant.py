@@ -154,3 +154,78 @@ def test_int8_step_hlo_audit():
     hlo_bf16 = f.lower(qp, x.astype(jnp.bfloat16), t,
                        text.astype(jnp.bfloat16)).compile().as_text()
     hlo_audit.assert_int8_step(hlo_bf16, n_q)
+
+
+# ---------------------------------------------------------------------------
+# VAE int8 (w8a8 conv serving path)
+# ---------------------------------------------------------------------------
+
+_VAE_TINY22 = None
+
+
+def _vae_tiny22():
+    global _VAE_TINY22
+    if _VAE_TINY22 is None:
+        from frameino_tpu.models import wan_vae
+        cfg = wan_vae.WanVAEConfig(
+            base_dim=8, decoder_base_dim=12, z_dim=4, dim_mult=(1, 2, 2),
+            num_res_blocks=1, temperal_downsample=(True, True),
+            is_residual=True, in_channels=12, out_channels=12,
+            patch_size=2, latents_mean=tuple([0.0] * 4),
+            latents_std=tuple([1.0] * 4))
+        params = wan_vae.init_wan_vae(jax.random.key(1), cfg)
+        _VAE_TINY22 = (cfg, params)
+    return _VAE_TINY22
+
+
+def test_quantized_vae_decode_close():
+    from frameino_tpu.models import wan_vae
+    from frameino_tpu.models.quant import quantize_wan_vae_int8
+    cfg, params = _vae_tiny22()
+    qp = quantize_wan_vae_int8(params)
+    z = jax.random.normal(jax.random.key(2), (1, 4, 3, 4, 4))
+    ref = np.asarray(wan_vae.decode(cfg, params, z))
+    got = np.asarray(wan_vae.decode(cfg, qp, z))
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.06, rel
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.99, corr
+    # encode path shares the dispatch
+    v = jax.random.normal(jax.random.key(3), (1, 3, 9, 32, 32))
+    refe = np.asarray(wan_vae.encode(cfg, params, v))
+    gote = np.asarray(wan_vae.encode(cfg, qp, v))
+    rele = np.abs(gote - refe).mean() / (np.abs(refe).mean() + 1e-8)
+    assert rele < 0.03, rele
+
+
+def test_quantized_vae_preserves_sensitive_convs():
+    """conv_in / conv_out (pixel-facing) and the attention einsums stay
+    full precision; resblock and resampler convs quantize."""
+    from frameino_tpu.models.quant import quantize_wan_vae_int8
+    _, params = _vae_tiny22()
+    qp = quantize_wan_vae_int8(params)
+    for tree in (qp["encoder"], qp["decoder"]):
+        assert "kernel" in tree["conv_in"]
+        assert "kernel" in tree["conv_out"]
+        assert "kernel" in tree["mid"]["attn"]["to_qkv"]
+        assert "kernel_q" in tree["mid"]["res1"]["conv1"]
+        assert "scale" in tree["mid"]["res1"]["conv2"]
+        assert "kernel" not in tree["mid"]["res1"]["conv1"]
+
+
+def test_quantized_vae_streaming_matches_full_int8():
+    """The streaming decoder's private conv wrapper dispatches the same
+    int8 path as the full-sequence decode (wan_vae_streaming._cconv_fwd)."""
+    from frameino_tpu.models import wan_vae
+    from frameino_tpu.models import wan_vae_streaming as S
+    from frameino_tpu.models.quant import quantize_wan_vae_int8
+    cfg, params = _vae_tiny22()
+    qp = quantize_wan_vae_int8(params)
+    z = jax.random.normal(jax.random.key(4), (1, 4, 5, 2, 2))
+    full = np.asarray(wan_vae.decode(cfg, qp, z))
+    chunked = np.asarray(S.streaming_decode(cfg, qp, z,
+                                            chunk_latent_frames=2))
+    # per-chunk dynamic activation scales differ from the full-sequence
+    # scale, so equality is to quantization tolerance, not float exact
+    rel = np.abs(chunked - full).mean() / (np.abs(full).mean() + 1e-8)
+    assert rel < 0.05, rel
