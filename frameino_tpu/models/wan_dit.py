@@ -261,21 +261,31 @@ def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,
 
 
 def _cross_attention(p, x, context, context_img, cfg, attn_impl,
-                     differentiable, mesh=None):
+                     differentiable, mesh=None, kv=None):
     eps = cfg.eps
     q = dense(x, p["to_q"])
     q = _qk_norm_across_heads(q, p["norm_q"], eps)
     qh = _split_heads(q, cfg.num_attention_heads)
 
-    k = dense(context, p["to_k"])
-    v = dense(context, p["to_v"])
-    k = _qk_norm_across_heads(k, p["norm_k"], eps)
-    kh = _split_heads(k, cfg.num_attention_heads)
-    vh = _split_heads(v, cfg.num_attention_heads)
+    if kv is not None:
+        # precomputed text K/V (loop-invariant across denoise steps —
+        # see precompute_text_kv): skip the per-step projections
+        kh, vh = kv["k"], kv["v"]
+    else:
+        k = dense(context, p["to_k"])
+        v = dense(context, p["to_v"])
+        k = _qk_norm_across_heads(k, p["norm_k"], eps)
+        kh = _split_heads(k, cfg.num_attention_heads)
+        vh = _split_heads(v, cfg.num_attention_heads)
     o = _dispatch_attention(qh, kh, vh, cfg, attn_impl, differentiable,
                             mesh, gather_kv=False)
 
-    if context_img is not None and "add_k_proj" in p:
+    if kv is not None and "k_img" in kv:
+        o_img = _dispatch_attention(qh, kv["k_img"], kv["v_img"], cfg,
+                                    attn_impl, differentiable, mesh,
+                                    gather_kv=False)
+        o = o + o_img
+    elif context_img is not None and "add_k_proj" in p:
         k_img = dense(context_img, p["add_k_proj"])
         k_img = _qk_norm_across_heads(k_img, p["norm_added_k"], eps)
         v_img = dense(context_img, p["add_v_proj"])
@@ -287,9 +297,56 @@ def _cross_attention(p, x, context, context_img, cfg, attn_impl,
     return dense(_merge_heads(o), p["to_out"])
 
 
+def precompute_text_kv(cfg: WanDiTConfig, params: Params,
+                       encoder_hidden_states: jax.Array,
+                       encoder_hidden_states_image: Optional[jax.Array] = None,
+                       dtype=jnp.bfloat16) -> Params:
+    """Per-block cross-attention K/V for a fixed text context.
+
+    The text context is loop-invariant across denoise steps, but the
+    denoise ``lax.scan`` body re-projects it every step (XLA does not
+    hoist weights-side matmuls out of a scan whose carry feeds them
+    downstream). Computing them once per clip removes, per step,
+    2 x num_layers [L_text, D] x [D, D] matmuls + the k RMS-norm and —
+    on the int8 path — their per-token activation-quant reduces.
+
+    Returns a pytree of stacked arrays (leading axis = layer):
+      ``k``/``v``: [L, B, H, L_text, Dh]  (+ ``k_img``/``v_img`` for
+      the Wan2.1 I2V image-KV branch, reference
+      ``architecture/transformer_wan.py:92-106``).
+    Feed it to ``wan_dit_forward(..., text_kv=...)`` — equality with
+    the unhoisted path is exact (same ops, same order).
+    """
+    ce = params["condition_embedder"]
+    context = pixart_text_projection(encoder_hidden_states,
+                                     ce["text_embedder"], out_dtype=dtype)
+    context_img = None
+    if (encoder_hidden_states_image is not None
+            and "image_embedder" in ce):
+        context_img = _image_embedder(ce["image_embedder"],
+                                      encoder_hidden_states_image, cfg.eps)
+
+    def per_block(attn2):
+        k = dense(context, attn2["to_k"])
+        v = dense(context, attn2["to_v"])
+        k = _qk_norm_across_heads(k, attn2["norm_k"], cfg.eps)
+        out = {"k": _split_heads(k, cfg.num_attention_heads),
+               "v": _split_heads(v, cfg.num_attention_heads)}
+        if context_img is not None and "add_k_proj" in attn2:
+            k_img = dense(context_img, attn2["add_k_proj"])
+            k_img = _qk_norm_across_heads(k_img, attn2["norm_added_k"],
+                                          cfg.eps)
+            v_img = dense(context_img, attn2["add_v_proj"])
+            out["k_img"] = _split_heads(k_img, cfg.num_attention_heads)
+            out["v_img"] = _split_heads(v_img, cfg.num_attention_heads)
+        return out
+
+    return jax.lax.map(per_block, params["blocks"]["attn2"])
+
+
 def _block_forward(cfg: WanDiTConfig, p: Params, x, context, context_img,
                    timestep_proj, cos, sin, attn_impl, differentiable,
-                   mesh=None):
+                   mesh=None, kv=None):
     """WanTransformerBlock.forward (reference :308-350).
 
     x: [B, S, D] compute dtype; timestep_proj fp32 [B, (S|1), 6, D].
@@ -330,7 +387,7 @@ def _block_forward(cfg: WanDiTConfig, p: Params, x, context, context_img,
     else:
         norm_x = x
     x = x + _cross_attention(p["attn2"], norm_x, context, context_img, cfg,
-                             attn_impl, differentiable, mesh)
+                             attn_impl, differentiable, mesh, kv=kv)
 
     # 3. feed-forward (gelu-approximate)
     norm_x = (layer_norm(x, eps=cfg.eps) * (1 + c_scale) + c_shift)
@@ -367,7 +424,8 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
                     differentiable: bool = False,
                     remat: bool = False,
                     mesh=None,
-                    pp_microbatches: Optional[int] = None) -> jax.Array:
+                    pp_microbatches: Optional[int] = None,
+                    text_kv: Optional[Params] = None) -> jax.Array:
     """WanTransformer3DModel.forward (reference :454-551).
 
     hidden_states: [B, C, F, H, W] (latent + condition channels).
@@ -389,6 +447,11 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
     stacked-layer axis (``parallel/pipeline.py``): ``pp_microbatches``
     (default pp) must divide the batch, num_layers must divide by pp,
     and sp must be 1 (the manual pp region excludes the sp shard_map).
+
+    ``text_kv``: precomputed per-block cross-attention K/V
+    (``precompute_text_kv``) — ``encoder_hidden_states`` is then unused
+    and may be None. Not supported with pp>1 (the pipeline stages the
+    layer axis).
     """
     B, C, F, H, W = hidden_states.shape
     pt, ph, pw = cfg.patch_size
@@ -438,15 +501,22 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
     else:
         timestep_proj = timestep_proj.reshape(B, 1, 6, cfg.inner_dim)
 
-    context = pixart_text_projection(encoder_hidden_states, ce["text_embedder"],
-                                     out_dtype=x.dtype)
-    context_img = None
-    if encoder_hidden_states_image is not None and "image_embedder" in ce:
-        context_img = _image_embedder(ce["image_embedder"],
-                                      encoder_hidden_states_image, cfg.eps)
+    if text_kv is not None:
+        context = context_img = None      # K/V already projected per block
+    else:
+        context = pixart_text_projection(encoder_hidden_states,
+                                         ce["text_embedder"],
+                                         out_dtype=x.dtype)
+        context_img = None
+        if encoder_hidden_states_image is not None and "image_embedder" in ce:
+            context_img = _image_embedder(ce["image_embedder"],
+                                          encoder_hidden_states_image, cfg.eps)
 
     stacked = params["blocks"]
     if ppn > 1:
+        if text_kv is not None:
+            raise ValueError("text_kv is not supported with pp>1 (the "
+                             "pipeline stages the stacked-layer axis)")
         from frameino_tpu.parallel import pipeline as pp_mod
         aux_batch = {"context": context, "timestep_proj": timestep_proj}
         if context_img is not None:
@@ -462,15 +532,16 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
                                    block_fn, microbatches=pp_microbatches,
                                    remat=remat)
     else:
-        def body(carry, layer_params):
+        def body(carry, xs):
+            layer_params, kv = xs
             h = _block_forward(cfg, layer_params, carry, context, context_img,
                                timestep_proj, cos, sin, attn_impl,
-                               differentiable, mesh)
+                               differentiable, mesh, kv=kv)
             return h, None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, (stacked, text_kv))
 
     # Output AdaLN + projection (reference :519-537)
     table = params["norm_out_table"].astype(jnp.float32)    # [1, 2, D]

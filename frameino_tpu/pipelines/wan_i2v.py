@@ -182,6 +182,19 @@ def denoise_segment_wan21(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
     B = latents.shape[0]
     do_cfg = guidance_scale > 1.0
 
+    # Text (and CLIP-image) K/V are loop-invariant across denoise steps:
+    # project them once per segment instead of once per step
+    # (wan_dit.precompute_text_kv; exact equality with the in-step path).
+    if do_cfg:
+        img2 = None if image_embeds is None else jnp.concatenate(
+            [image_embeds, image_embeds], axis=0)
+        text_kv = wan_dit.precompute_text_kv(
+            dit_cfg, dit_params, context_2b, img2, dtype=latents.dtype)
+    else:
+        text_kv = wan_dit.precompute_text_kv(
+            dit_cfg, dit_params, context_2b[:B], image_embeds,
+            dtype=latents.dtype)
+
     def step(carry, xs):
         latents = carry
         sigma, sigma_next, t = xs
@@ -192,19 +205,16 @@ def denoise_segment_wan21(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
         if do_cfg:
             model_in = jnp.concatenate([latent_in, latent_in], axis=0)
             ts2 = jnp.concatenate([ts, ts], axis=0)
-            img2 = None if image_embeds is None else jnp.concatenate(
-                [image_embeds, image_embeds], axis=0)
             pred = wan_dit.wan_dit_forward(
-                dit_cfg, dit_params, model_in, ts2, context_2b,
-                encoder_hidden_states_image=img2, attn_impl=attn_impl)
+                dit_cfg, dit_params, model_in, ts2, None,
+                attn_impl=attn_impl, text_kv=text_kv)
             pred_cond, pred_uncond = jnp.split(pred, 2, axis=0)
             noise_pred = pred_uncond + guidance_scale * (pred_cond
                                                          - pred_uncond)
         else:
             noise_pred = wan_dit.wan_dit_forward(
-                dit_cfg, dit_params, latent_in, ts, context_2b[:B],
-                encoder_hidden_states_image=image_embeds,
-                attn_impl=attn_impl)
+                dit_cfg, dit_params, latent_in, ts, None,
+                attn_impl=attn_impl, text_kv=text_kv)
         return euler_step(latents, noise_pred, sigma, sigma_next), None
 
     latents, _ = jax.lax.scan(step, latents,
@@ -265,6 +275,26 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
     ts_mask_b = jnp.broadcast_to(ts_mask[None], (B, ts_mask.shape[0]))
     ts_mask_2b = jnp.concatenate([ts_mask_b, ts_mask_b], axis=0)
 
+    # Hoist the per-block text K/V out of the step scan (loop-invariant;
+    # wan_dit.precompute_text_kv). Single-chip serving only — under a
+    # mesh the kv tree would need its own sharding constraints, and the
+    # per-step projections there are dwarfed by collectives.
+    kv_cond = kv_uncond = kv_2b = None
+    if mesh is None:
+        if do_cfg and cfg_sequential:
+            kv = wan_dit.precompute_text_kv(dit_cfg, dit_params, context_2b,
+                                            dtype=latents.dtype)
+            kv_cond = jax.tree.map(lambda a: a[:, :B], kv)
+            kv_uncond = jax.tree.map(lambda a: a[:, B:], kv)
+        elif do_cfg:
+            kv_2b = wan_dit.precompute_text_kv(dit_cfg, dit_params,
+                                               context_2b,
+                                               dtype=latents.dtype)
+        else:
+            kv_cond = wan_dit.precompute_text_kv(dit_cfg, dit_params,
+                                                 context_2b[:B],
+                                                 dtype=latents.dtype)
+
     def step(carry, xs):
         latents = carry
         sigma, sigma_next, t = xs
@@ -281,23 +311,27 @@ def denoise_segment(dit_cfg: wan_dit.WanDiTConfig, dit_params: Params,
         if do_cfg and cfg_sequential:
             pred_cond = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[:B],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh,
+                text_kv=kv_cond)
             pred_uncond = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[B:],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh,
+                text_kv=kv_uncond)
             noise_pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
         elif do_cfg:
             model_in = jnp.concatenate([latent_in, latent_in], axis=0)
             pred = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, model_in,
                 jnp.concatenate([t_b, t_b], axis=0), context_2b,
-                timestep_mask=ts_mask_2b, attn_impl=attn_impl, mesh=mesh)
+                timestep_mask=ts_mask_2b, attn_impl=attn_impl, mesh=mesh,
+                text_kv=kv_2b)
             pred_cond, pred_uncond = jnp.split(pred, 2, axis=0)
             noise_pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
         else:
             noise_pred = wan_dit.wan_dit_forward(
                 dit_cfg, dit_params, latent_in, t_b, context_2b[:B],
-                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh)
+                timestep_mask=ts_mask_b, attn_impl=attn_impl, mesh=mesh,
+                text_kv=kv_cond)
 
         noise_pred = noise_pred[:, :, :num_gen_frames]     # drop ID frames
         latents = euler_step(latents, noise_pred, sigma, sigma_next)

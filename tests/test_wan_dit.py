@@ -177,3 +177,37 @@ def test_fused_producer_attention_matches_unfused():
         attn_ops.FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_precompute_text_kv_matches_in_step_projection():
+    """wan_dit_forward(text_kv=precompute_text_kv(...)) == the plain
+    forward — the hoisted projections are the same ops in the same
+    order, so equality is exact (serving hoists them out of the
+    denoise scan; pipelines/wan_i2v.py denoise_segment)."""
+    cfg = M.tiny_config()
+    params = M.init_wan_dit(jax.random.key(0), cfg)
+    x, t, text = _inputs(B=2)
+    ref = M.wan_dit_forward(cfg, params, x, t, text, attn_impl="xla")
+    kv = M.precompute_text_kv(cfg, params, text, dtype=x.dtype)
+    assert kv["k"].shape == (cfg.num_layers, 2, cfg.num_attention_heads,
+                             text.shape[1], cfg.attention_head_dim)
+    got = M.wan_dit_forward(cfg, params, x, t, None, attn_impl="xla",
+                            text_kv=kv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_precompute_text_kv_image_branch():
+    """Wan2.1 I2V: the CLIP image-KV branch (add_k_proj) rides in the
+    precomputed tree as k_img/v_img and matches the in-step path."""
+    cfg = M.tiny_config(image_dim=12, added_kv_proj_dim=48)
+    params = M.init_wan_dit(jax.random.key(0), cfg)
+    x, t, text = _inputs(B=2)
+    img = jax.random.normal(jax.random.key(9), (2, 5, cfg.image_dim))
+    ref = M.wan_dit_forward(cfg, params, x, t, text,
+                            encoder_hidden_states_image=img,
+                            attn_impl="xla")
+    kv = M.precompute_text_kv(cfg, params, text, img, dtype=x.dtype)
+    assert "k_img" in kv and "v_img" in kv
+    got = M.wan_dit_forward(cfg, params, x, t, None, attn_impl="xla",
+                            text_kv=kv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
