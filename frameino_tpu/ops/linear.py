@@ -30,13 +30,20 @@ def dense_int8(x, params, out_dtype=None):
     per-token activation scales (dynamic absmax), int32 MXU accumulate.
 
     y = (x_q @ w_q) * (s_x s_w) + bias — standard dynamic-quant matmul;
-    the surrounding fp32 ops fuse into the producer/consumer.
+    the surrounding fp32 ops fuse into the producer/consumer (measured:
+    XLA's fusions beat a hand-fused Pallas quantizer here — see the
+    ops/dyn_quant negative result; that path ships disabled).
     """
+    from frameino_tpu.ops import dyn_quant
     out_dtype = out_dtype or x.dtype
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
-    xq = jnp.round(xf / s_x).astype(jnp.int8)
+    if dyn_quant.supported(x):
+        xq, s_x = dyn_quant.dynamic_quantize_rows(
+            x, interpret=dyn_quant.FORCE_INTERPRET)
+    else:
+        xf = x.astype(jnp.float32)
+        s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-12)
+        xq = jnp.round(xf / s_x).astype(jnp.int8)
     y = jnp.matmul(xq, params["kernel_q"],
                    preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * (s_x * params["scale"].astype(jnp.float32))

@@ -229,3 +229,49 @@ def test_quantized_vae_streaming_matches_full_int8():
     # scale, so equality is to quantization tolerance, not float exact
     rel = np.abs(chunked - full).mean() / (np.abs(full).mean() + 1e-8)
     assert rel < 0.05, rel
+
+
+def test_dynamic_quantize_rows_matches_xla_formula():
+    """Pallas fused absmax+quantize (interpret mode) bit-matches the
+    XLA formulation dense_int8 used before, incl. a row-tail block
+    (n % blk != 0) and 3-D inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from frameino_tpu.ops import dyn_quant
+
+    for shape in [(13, 256), (2, 9, 384), (1, 1, 128)]:
+        x = jax.random.normal(jax.random.key(0), shape, jnp.bfloat16) * 3.0
+        xq, s = dyn_quant.dynamic_quantize_rows(x, interpret=True)
+        xf = x.astype(jnp.float32)
+        s_ref = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+        q_ref = jnp.round(xf / s_ref).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(xq), np.asarray(q_ref))
+        assert xq.dtype == jnp.int8 and s.shape == shape[:-1] + (1,)
+
+
+def test_dense_int8_pallas_path_matches_xla_path():
+    """dense_int8 with the fused Pallas quantizer == the XLA quantize
+    path (FORCE_INTERPRET exercises the kernel on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from frameino_tpu.models.quant import _quantize_kernel
+    from frameino_tpu.ops import dyn_quant, linear
+
+    k1, k2 = jax.random.split(jax.random.key(1))
+    kernel = jax.random.normal(k1, (256, 128), jnp.float32)
+    q, s = _quantize_kernel(kernel)
+    pq = {"kernel_q": q, "scale": s, "bias": jnp.zeros((128,), jnp.float32)}
+    x = jax.random.normal(k2, (3, 17, 256), jnp.bfloat16)
+    ref = linear.dense_int8(x, pq)
+    dyn_quant.FORCE_INTERPRET = True
+    dyn_quant.ENABLED = True          # ships off (negative result)
+    try:
+        got = linear.dense_int8(x, pq)
+    finally:
+        dyn_quant.FORCE_INTERPRET = False
+        dyn_quant.ENABLED = False
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
