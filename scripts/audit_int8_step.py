@@ -55,13 +55,19 @@ def main():
 
     @jax.jit
     def denoise_steps(params, latents, id_lat, traj, ts, text):
+        # text K/V hoisted out of the scan, matching bench.py and the
+        # serving pipeline (the attn2 to_k/to_v s8 matmuls execute once
+        # in the precompute's layer loop instead of once per step)
+        text_kv = wan_dit.precompute_text_kv(cfg, params, text)
+
         def body(lat, _):
             lat_in = jnp.concatenate([lat, id_lat], axis=2)
             lat_in = jnp.concatenate([lat_in, traj], axis=1)
             x = jnp.concatenate([lat_in, lat_in], axis=0).astype(jnp.bfloat16)
-            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, text,
+            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, None,
                                            timestep_mask=mask,
-                                           attn_impl="pallas")
+                                           attn_impl="pallas",
+                                           text_kv=text_kv)
             cond, uncond = jnp.split(pred, 2, axis=0)
             noise_pred = uncond + 5.0 * (cond - uncond)
             return euler_step(lat, noise_pred[:, :, :F], 0.9, 0.88), None

@@ -52,13 +52,17 @@ def build_step(int8: bool):
 
     @jax.jit
     def denoise_steps(params, latents):
+        # hoisted text K/V, matching the serving pipeline and bench.py
+        text_kv = wan_dit.precompute_text_kv(cfg, params, text)
+
         def body(lat, _):
             lat_in = jnp.concatenate([lat, id_lat], axis=2)
             lat_in = jnp.concatenate([lat_in, traj], axis=1)
             x = jnp.concatenate([lat_in, lat_in], axis=0).astype(jnp.bfloat16)
-            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, text,
+            pred = wan_dit.wan_dit_forward(cfg, params, x, ts, None,
                                            timestep_mask=mask,
-                                           attn_impl="pallas")
+                                           attn_impl="pallas",
+                                           text_kv=text_kv)
             cond, uncond = jnp.split(pred, 2, axis=0)
             noise_pred = uncond + 5.0 * (cond - uncond)
             return euler_step(lat, noise_pred[:, :, :F], 0.9, 0.88), None
