@@ -43,13 +43,14 @@ from frameino_tpu.core.tree import flatten, unflatten
 # stacked flag below. Order matters: first match wins.
 _DIT_RULES = [
     # column-parallel projections: output dim over tp, input over fsdp
+    # (ffn? covers both the Wan 'ffn' and CogVideoX 'ff' FFN naming)
     (r".*(to_q|to_k|to_v|add_k_proj|add_v_proj)\.kernel$", ("fsdp", "tp")),
-    (r".*ffn\.fc1\.kernel$", ("fsdp", "tp")),
+    (r".*ffn?\.fc1\.kernel$", ("fsdp", "tp")),
     (r".*(to_q|to_k|to_v|add_k_proj|add_v_proj)\.bias$", ("tp",)),
-    (r".*ffn\.fc1\.bias$", ("tp",)),
+    (r".*ffn?\.fc1\.bias$", ("tp",)),
     # row-parallel projections: input dim over tp, output over fsdp
     (r".*to_out\.kernel$", ("tp", "fsdp")),
-    (r".*ffn\.fc2\.kernel$", ("tp", "fsdp")),
+    (r".*ffn?\.fc2\.kernel$", ("tp", "fsdp")),
     # big non-attention matmuls: fsdp on the larger axis
     (r".*patch_embedding\.kernel$", (None, "fsdp")),
     (r".*proj_out\.kernel$", ("fsdp", None)),
@@ -85,8 +86,22 @@ def _spec_for(path: str, leaf, mesh: Mesh, stacked_prefixes=("blocks.",)):
     stacked = any(path.startswith(p) for p in stacked_prefixes)
     shape = leaf.shape
     offset = 1 if stacked else 0          # leading 'layers' axis (pp)
+    # int8-quantized serving trees (models/quant.py): 'kernel_q' shards
+    # exactly like the 'kernel' it replaced; its per-out-channel 'scale'
+    # ([L?, out]) is REPLICATED (pp-sliced on the stacked layers axis
+    # only) — scales are tiny (<=0.4 MB/leaf at 5B) and a replicated
+    # operand lets GSPMD slice locally for free, where a sharded one
+    # measurably inserts reshard all-to-alls into the denoise loop
+    # (tests/test_collectives.py::test_int8_denoise_collectives_fsdp_tp).
+    lookup = path
+    if path.endswith(".kernel_q"):
+        lookup = path[: -len("_q")]
+    elif path.endswith(".scale"):
+        if any(re.match(pat, path[: -len(".scale")] + ".kernel")
+               for pat, _ in _DIT_RULES):
+            return _with_pp(P(), stacked, shape, mesh)
     for pat, axes in _DIT_RULES:
-        if re.match(pat, path):
+        if re.match(pat, lookup):
             dims = [None] * len(shape)
             for i, ax in enumerate(axes):
                 di = offset + i

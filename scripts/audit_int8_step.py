@@ -107,11 +107,14 @@ def main():
             f"expected 7 full-precision matmuls (embedders/patch/"
             f"proj_out), found {n_float}: {counts}")
     # Pallas lowers to tpu_custom_call; ConcatBitcast is a TPU-internal
-    # layout optimization. Anything else would be an unexpected escape
+    # layout optimization; AllocateBuffer is XLA's uninitialized-buffer
+    # allocation for the hoisted text-K/V stack carried into the step
+    # scan (no compute). Anything else would be an unexpected escape
     # from XLA (host callback, unlowered op, ...)
     unexpected = [t for t in call_targets
                   if t not in ("tpu_custom_call", "ConcatBitcast",
-                               "Sharding", "SPMDFullToShardShape",
+                               "AllocateBuffer", "Sharding",
+                               "SPMDFullToShardShape",
                                "SPMDShardToFullShape")]
     if unexpected:
         problems.append(f"unexpected custom-call targets: {unexpected}")

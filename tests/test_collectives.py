@@ -250,3 +250,40 @@ def test_single_device_has_no_collectives():
         MeshConfig(dp=1, fsdp=1, tp=1, sp=1), "allgather"))
     print(format_table("denoise single-device", inv))
     assert not inv
+
+
+def test_int8_denoise_collectives_fsdp_tp():
+    """int8 serving sharded over fsdp2/tp2 (the DEPLOYMENT.md flagship
+    layout): the quantized forward's collective inventory must look like
+    the bf16 one — fsdp kernel gathers bounded by the largest stacked
+    leaf (kernel_q bytes, int8), no all-to-all, and crucially no
+    full-precision-sized gather (which would mean XLA dequantized a
+    kernel BEFORE gathering, moving 4x the bytes over ICI)."""
+    from frameino_tpu.models import wan_dit
+    from frameino_tpu.models.quant import quantize_dit_int8
+    from frameino_tpu.parallel.sharding import shard_pytree
+
+    dit_cfg, _ = _tiny_cfgs()
+    qparams = quantize_dit_int8(
+        wan_dit.init_wan_dit(jax.random.key(0), dit_cfg))
+    mcfg = MeshConfig(dp=1, fsdp=2, tp=2, sp=2)
+    mesh = make_mesh(mcfg, devices=jax.devices()[:mcfg.size])
+    B, F, H, W = 1, 4, 8, 8
+    x = jnp.zeros((B, dit_cfg.in_channels, F, H, W))
+    t = jnp.full((B,), 500.0)
+    text = jnp.zeros((B, 8, dit_cfg.text_dim))
+    with mesh:
+        qs = shard_pytree(qparams, mesh)
+        fn = jax.jit(lambda p, x, t, c: wan_dit.wan_dit_forward(
+            dit_cfg, p, x, t, c, attn_impl="xla", mesh=mesh))
+        compiled = fn.lower(qs, x, t, text).compile()
+    inv = audit_collectives(compiled)
+    print(format_table("int8 denoise fsdp2/tp2/sp2", inv))
+    assert "all-to-all" not in inv
+    max_leaf = max(np.prod(v.shape) * v.dtype.itemsize
+                   for v in jax.tree.leaves(qparams))
+    ag = inv.get("all-gather")
+    if ag is not None:
+        assert ag["max_single_bytes"] <= max_leaf * 1.01, (
+            "a gather larger than any quantized leaf — likely a "
+            "dequantize-then-gather rewrite")
