@@ -95,9 +95,8 @@ def audit_matmuls(hlo_text: str) -> List[MatmulOp]:
         call = line.split(mo.group(1) + "(", 1)[1]
         call = call.split(")", 1)[0]
         operands = _OPERANDS_RE.findall(call)
-        op_name = (_OP_NAME_RE.search(line) or [None]) and \
-            (_OP_NAME_RE.search(line).group(1)
-             if _OP_NAME_RE.search(line) else "")
+        m = _OP_NAME_RE.search(line)
+        op_name = m.group(1) if m else ""
         out.append(MatmulOp(
             name=md.group(1), opcode=mo.group(1), out_dtype=md.group(2),
             out_shape=_shape(md.group(3)),

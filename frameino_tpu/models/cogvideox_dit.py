@@ -295,7 +295,7 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
     # (ops/attention.fused_ln_qk_flash_attention)
     use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
                  and cos is not None and p.get("norm_q") is not None
-                 and (mesh is None or mesh.shape.get("sp", 1) == 1)
+                 and not attn_ops.needs_sharded_attention(mesh)
                  and (attn_impl == "pallas"
                       or (attn_impl is None and attn_ops._on_tpu())))
     if use_fused:
@@ -439,10 +439,18 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
     if ppn > 1:
         from frameino_tpu.parallel import pipeline as pp_mod
 
+        # mesh=None inside the manual-pp region: force XLA attention
+        # when the inner dp/fsdp/tp submesh is multi-device (a bare
+        # pallas_call there would be replicated by GSPMD)
+        inner_multi = any(mesh.shape.get(a, 1) > 1
+                          for a in ("dp", "fsdp", "tp"))
+        pp_attn_impl = ("xla" if inner_multi and attn_impl in (None, "pallas")
+                        else attn_impl)
+
         def block_fn(layer_params, carry, aux, shared):
             h, enc = carry
             return _block_forward(cfg, layer_params, h, enc, aux,
-                                  shared[0], shared[1], attn_impl,
+                                  shared[0], shared[1], pp_attn_impl,
                                   differentiable, None)
 
         h, enc = pp_mod.pipeline_blocks(

@@ -16,7 +16,6 @@ proj_out (quality-sensitive, negligible FLOPs).
 
 from __future__ import annotations
 
-import functools
 import re
 from typing import Any, Dict
 

@@ -236,8 +236,12 @@ def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,
     # fused-producer flash path (single-chip pallas inference): the qk
     # RMS-norm + interleaved RoPE run inside the kernel's tile loads,
     # skipping their [B, S, H*D] HBM round-trips (ops/attention)
+    # single-device only: the fused producers are bare pallas_calls
+    # (GSPMD cannot partition them) and the full-row RMS statistic
+    # needs every head — sharded meshes take the dispatch_attention
+    # path (shard_map or XLA) below
     use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
-                 and (mesh is None or mesh.shape.get("sp", 1) == 1)
+                 and not attn_ops.needs_sharded_attention(mesh)
                  and (attn_impl == "pallas"
                       or (attn_impl is None and attn_ops._on_tpu())))
     if use_fused:
@@ -522,11 +526,20 @@ def wan_dit_forward(cfg: WanDiTConfig, params: Params,
         if context_img is not None:
             aux_batch["context_img"] = context_img
 
+        # blocks run with mesh=None inside the manual-pp region, but the
+        # operands are still GSPMD-sharded over any dp/fsdp/tp axes — a
+        # bare pallas_call there would be replicated, so force XLA
+        # attention when the inner submesh is multi-device
+        inner_multi = any(mesh.shape.get(a, 1) > 1
+                          for a in ("dp", "fsdp", "tp"))
+        pp_attn_impl = ("xla" if inner_multi and attn_impl in (None, "pallas")
+                        else attn_impl)
+
         def block_fn(layer_params, h, aux, shared):
             return _block_forward(cfg, layer_params, h, aux["context"],
                                   aux.get("context_img"),
                                   aux["timestep_proj"], shared[0], shared[1],
-                                  attn_impl, differentiable, None)
+                                  pp_attn_impl, differentiable, None)
 
         x = pp_mod.pipeline_blocks(mesh, stacked, x, aux_batch, (cos, sin),
                                    block_fn, microbatches=pp_microbatches,

@@ -463,6 +463,8 @@ def _qk_producer_ln(raw, w, b, c2, s2, *, num_heads: int, head_dim: int,
     B, S, HD = raw.shape
     H = num_heads
     hpb = max(1, min(128 // head_dim, H))
+    if H % hpb:
+        hpb = 1          # odd head counts: every head must get a cell
     grid = (B, S // block_s, H // hpb)
     return pl.pallas_call(
         functools.partial(_qk_producer_ln_kernel, eps=eps,
@@ -622,34 +624,61 @@ def attention(q, k, v, scale: Optional[float] = None, *,
 DEFAULT_SP_METHOD = "allgather"
 
 
+def needs_sharded_attention(mesh) -> bool:
+    """True iff the mesh shards any axis attention tensors live on
+    (dp/fsdp batch, tp heads, sp sequence). A pallas_call is a custom
+    call GSPMD cannot partition — on such a mesh the kernel must run
+    inside a shard_map (sp_attention/ring_attention) or be replaced by
+    XLA attention; handing it to GSPMD directly would replicate the
+    operands (all-gathers every step) and compute on every device."""
+    if mesh is None:
+        return False
+    return any(mesh.shape.get(a, 1) > 1 for a in ("dp", "fsdp", "tp", "sp"))
+
+
 def dispatch_attention(q, k, v, *, mesh=None, gather_kv: bool = True,
                        impl: Optional[str] = None,
                        differentiable: bool = False,
                        sp_method: Optional[str] = None):
-    """Single- or sequence-parallel attention on [B, H, S, D].
+    """Single- or mesh-sharded attention on [B, H, S, D].
 
-    With an active mesh whose sp axis > 1 and divisible shapes, runs as
-    a sequence-parallel shard_map (all-gather-KV or ring per
-    ``sp_method``; cross-attention to replicated text never gathers).
-    Falls back to plain attention otherwise.
+    With an active multi-device mesh and divisible shapes, runs as a
+    shard_map — batch over dp/fsdp, heads over tp, sequence over sp
+    (all-gather-KV or ring per ``sp_method``; with sp == 1 no sequence
+    collective exists and the kernel simply runs on its local
+    batch/head shard; cross-attention to replicated text never
+    gathers). When the shapes don't divide the mesh, falls back to XLA
+    attention (einsums partition under GSPMD; a bare pallas_call would
+    not — see ``needs_sharded_attention``). Single device: plain
+    attention.
     """
-    if sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv):
+    if not needs_sharded_attention(mesh):
+        return attention(q, k, v, impl=impl, differentiable=differentiable)
+    if sp_supported(mesh, q.shape, k.shape[2], gather_kv=gather_kv,
+                    allow_sp1=True):
         method = sp_method or DEFAULT_SP_METHOD
-        if method == "ring" and gather_kv:
+        if (method == "ring" and gather_kv
+                and mesh.shape.get("sp", 1) > 1):
             return ring_attention(q, k, v, mesh)
         return sp_attention(q, k, v, mesh, gather_kv=gather_kv,
                             impl=impl, differentiable=differentiable)
+    if impl is None or impl == "pallas":
+        return attention(q, k, v, impl="xla",
+                         differentiable=differentiable)
     return attention(q, k, v, impl=impl, differentiable=differentiable)
 
 
 def sp_supported(mesh, q_shape, kv_len: int, *, axis: str = "sp",
                  batch_axes=("dp", "fsdp"), head_axis: str = "tp",
-                 gather_kv: bool = True) -> bool:
-    """True iff sp_attention's shard_map divisibility constraints hold."""
+                 gather_kv: bool = True, allow_sp1: bool = False) -> bool:
+    """True iff sp_attention's shard_map divisibility constraints hold.
+
+    With ``allow_sp1`` an sp == 1 mesh qualifies too (batch/head-only
+    sharding — no sequence collective, kernel on local shards)."""
     if mesh is None:
         return False
     sp = mesh.shape.get(axis, 1)
-    if sp <= 1:
+    if sp <= 1 and not allow_sp1:
         return False
     B, H, S, _ = q_shape
     bsz = 1
@@ -693,13 +722,19 @@ def sp_attention(q, k, v, mesh, scale: Optional[float] = None, *,
         from jax.experimental.shard_map import shard_map
 
     scale = scale if scale is not None else _default_scale(q.shape[-1])
-    spec_q = P(batch_axes, head_axis, axis, None)
-    spec_kv = spec_q if gather_kv else P(batch_axes, head_axis, None, None)
+    # reference only axis names the mesh actually has (raw Mesh objects
+    # may carry a subset of the canonical five axes)
+    b_axes = tuple(a for a in batch_axes if a in mesh.shape) or None
+    h_ax = head_axis if head_axis in mesh.shape else None
+    s_ax = axis if axis in mesh.shape else None
+    spec_q = P(b_axes, h_ax, s_ax, None)
+    spec_kv = spec_q if gather_kv else P(b_axes, h_ax, None, None)
+    do_gather = gather_kv and mesh.shape.get(axis, 1) > 1
 
     use_pallas = (impl == "pallas") or (impl is None and _on_tpu())
 
     def local(ql, kl, vl):
-        if gather_kv:
+        if do_gather:
             kl = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
             vl = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
         if not use_pallas:

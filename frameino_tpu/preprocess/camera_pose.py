@@ -141,13 +141,15 @@ def _grid_flow(gray0, gray1, grid: int, H: int, W: int):
 
 
 def estimate_relative_poses(frames: np.ndarray, focal: float = None,
-                            grid: int = 12) -> Dict:
+                            grid: int = 12, flow_only: bool = False) -> Dict:
     """Two-view camera estimation per adjacent pair. Returns the
     SpaTrackV2-format ``camera_info`` dict (accumulated rotations, unit
     -baseline translations scaled by the flow-derived magnitude proxy)
     plus per-pair diagnostics:
 
     - ``flow_px``: median flow magnitude (px);
+    - ``flow_vec``: per-axis median flow vector [dx, dy] (px) — the
+      shake/reversal signal, so callers never re-run the LK flow;
     - ``h_residual_px``: median reprojection error of the best RANSAC
       homography — LOW means the flow is explained by a planar/rotation
       model (no parallax), HIGH means real translation parallax;
@@ -156,6 +158,12 @@ def estimate_relative_poses(frames: np.ndarray, focal: float = None,
     A pure 2D homography cannot make this split (VERDICT r2 missing #4):
     rotation and distant-scene translation both fit H, but only
     translation leaves parallax residuals that E explains and H cannot.
+
+    ``flow_only=True`` skips the two RANSAC solves per pair (homography
+    + essential matrix) and returns identity poses with flow
+    diagnostics only — the fast path for flow-threshold pruning
+    (``keep_by_camera_motion``), where the LK flow dominates cost and
+    the pose estimates are never read.
     """
     import cv2
     T, H, W = frames.shape[:3]
@@ -166,6 +174,7 @@ def estimate_relative_poses(frames: np.ndarray, focal: float = None,
     Rs = [np.eye(3)]
     ts = [np.zeros(3)]
     flow_px: List[float] = []
+    flow_vec: List[List[float]] = []
     h_res: List[float] = []
     rot_deg: List[float] = []
     R_acc = np.eye(3)
@@ -174,6 +183,7 @@ def estimate_relative_poses(frames: np.ndarray, focal: float = None,
         p0, p1 = _grid_flow(gray[i], gray[i + 1], grid, H, W)
         if len(p0) < 8:
             flow_px.append(0.0)
+            flow_vec.append([0.0, 0.0])
             h_res.append(0.0)
             rot_deg.append(0.0)
             Rs.append(R_acc.copy())
@@ -181,6 +191,13 @@ def estimate_relative_poses(frames: np.ndarray, focal: float = None,
             continue
         med_flow = float(np.median(np.linalg.norm(p1 - p0, axis=-1)))
         flow_px.append(med_flow)
+        flow_vec.append(np.median(p1 - p0, axis=0).tolist())
+        if flow_only:
+            h_res.append(0.0)
+            rot_deg.append(0.0)
+            Rs.append(R_acc.copy())
+            ts.append(t_acc.copy())
+            continue
         # homography residual = parallax signal
         Hm, hmask = cv2.findHomography(p0, p1, cv2.RANSAC, 3.0)
         if Hm is not None:
@@ -215,6 +232,7 @@ def estimate_relative_poses(frames: np.ndarray, focal: float = None,
         "focal_x": [f] * T,
         "focal_y": [f] * T,
         "flow_px": flow_px,
+        "flow_vec": flow_vec,
         "h_residual_px": h_res,
         "rot_deg": rot_deg,
     }
@@ -248,17 +266,10 @@ def classify_camera_motion(frames: np.ndarray, focal: float = None,
         return stats
     # direction-reversal fraction of the dominant flow axis
     # (camera_info translations are too noisy at small baselines; raw
-    # flow sign flips are the robust shake signal)
-    import cv2
-    gray = [cv2.cvtColor(fr, cv2.COLOR_RGB2GRAY) for fr in frames]
-    Hh, Ww = frames.shape[1:3]
-    dxs = []
-    for i in range(len(gray) - 1):
-        p0, p1 = _grid_flow(gray[i], gray[i + 1], 12, Hh, Ww)
-        if len(p0):
-            d = np.median(p1 - p0, axis=0)
-            dxs.append(d[np.argmax(np.abs(d))])
-    dxs = np.asarray(dxs)
+    # flow sign flips are the robust shake signal) — read from the
+    # estimator's per-pair flow vectors, no second LK pass
+    dxs = np.asarray([d[int(np.argmax(np.abs(d)))]
+                      for d in np.asarray(info["flow_vec"])])
     moving = dxs[np.abs(dxs) > static_px]
     reversals = (np.mean(np.sign(moving[1:]) != np.sign(moving[:-1]))
                  if len(moving) > 1 else 0.0)
@@ -274,8 +285,8 @@ def classify_camera_motion(frames: np.ndarray, focal: float = None,
 
 def camera_motion_stats(frames: np.ndarray) -> dict:
     """Summary stats driving static/shaky pruning (kept for backward
-    compatibility; now derived from the two-view estimator)."""
-    info = estimate_relative_poses(frames)
+    compatibility; flow-only — the pose solves would be discarded)."""
+    info = estimate_relative_poses(frames, flow_only=True)
     flow = np.asarray(info["flow_px"])
     jerk = np.abs(np.diff(flow)) if len(flow) > 1 else np.zeros(1)
     return {"path_px": float(flow.sum()),

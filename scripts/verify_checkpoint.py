@@ -355,8 +355,11 @@ def compare_scheduler(ckpt: str, g, tol):
         lines, ok = _report("scheduler.timesteps", ts, g["timesteps"],
                             **tol)
         if "sigmas" in g:
-            l2, ok2 = _report("scheduler.sigmas", sig,
-                              g["sigmas"][:-1], **tol)
+            # both sides carry steps+1 sigmas incl. the trailing 0:
+            # diffusers set_timesteps appends it and so does
+            # inference_sigmas — compare directly
+            l2, ok2 = _report("scheduler.sigmas", sig, g["sigmas"],
+                              **tol)
             lines += l2
             ok &= ok2
     else:
@@ -442,6 +445,34 @@ def selftest(tmpdir: str) -> int:
         print(f"{'PASS' if same else 'FAIL'} {name}: safetensors "
               f"export->reload round-trip ({len(sd)} tensors)")
         rc |= 0 if same else 1
+
+    # (c) scheduler comparator against an INDEPENDENT inline golden
+    # following diffusers FlowMatchEulerDiscreteScheduler.set_timesteps
+    # (static shift, no dynamic mu): linspace over [sigma_max, sigma_min]
+    # *N, /N, shift s/(1+(s-1)x), trailing 0 appended — so sched.sigmas
+    # has steps+1 entries, matching inference_sigmas' contract.
+    sck = os.path.join(tmpdir, "sched")
+    os.makedirs(sck, exist_ok=True)
+    shift, n_train, n_steps = 3.0, 1000, 10
+    with open(os.path.join(sck, "scheduler_config.json"), "w") as f:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": n_train, "shift": shift}, f)
+    base = np.linspace(1, n_train, n_train, dtype=np.float64)[::-1] / n_train
+    t = np.linspace(base[0] * n_train, base[-1] * n_train, n_steps,
+                    dtype=np.float64)
+    sg = t / n_train
+    sg = shift * sg / (1 + (shift - 1) * sg)
+    # diffusers stores these float32 (torch); dump_scheduler widens to
+    # float64 on save — emulate the same storage path
+    g = {"class_name": np.array("FlowMatchEulerDiscreteScheduler"),
+         "timesteps": (sg * n_train).astype(np.float32).astype(np.float64),
+         "sigmas": np.concatenate([sg, [0.0]]).astype(np.float32)
+                     .astype(np.float64)}
+    np.savez(os.path.join(tmpdir, "sched_golden.npz"), **g)
+    g = dict(np.load(os.path.join(tmpdir, "sched_golden.npz")))
+    lines, ok = compare_scheduler(sck, g, TOL["scheduler"])
+    print("\n".join(lines))
+    rc |= 0 if ok else 1
     return rc
 
 

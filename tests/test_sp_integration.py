@@ -174,3 +174,88 @@ def test_sp_ring_method_in_dit_forward():
         attn_ops.DEFAULT_SP_METHOD = prev
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_only_mesh_forward_matches_unsharded():
+    """sp == 1 multi-device meshes (the tp/fsdp serving layouts): the
+    forward must route attention through the shard_map or XLA — never a
+    bare pallas_call for GSPMD to replicate — and equal the unsharded
+    forward. Regression for the fused-producer guard, which used to
+    activate on any sp == 1 mesh."""
+    cfg, params, args = _setup()
+    ref = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(cfg, p, *a))(
+        params, *args)
+    for mcfg in (MeshConfig(dp=2, fsdp=2, tp=2, sp=1),
+                 MeshConfig(dp=1, fsdp=1, tp=4, sp=1)):
+        mesh = make_mesh(mcfg, devices=jax.devices()[:mcfg.size])
+        with mesh:
+            out = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(
+                cfg, p, *a, mesh=mesh))(params, *args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tp_only_mesh_pallas_kernel_in_shard_map_interpret():
+    """Explicit attn_impl='pallas' on a tp-only mesh runs the kernel
+    INSIDE the shard_map on local head shards (interpret mode on CPU)."""
+    from frameino_tpu.ops import attention as attn_ops
+
+    cfg, params, args = _setup()
+    ref = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(cfg, p, *a))(
+        params, *args)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=1),
+                     devices=jax.devices()[:4])
+    attn_ops.FORCE_INTERPRET = True
+    try:
+        with mesh:
+            out = jax.jit(lambda p, *a: wan_dit.wan_dit_forward(
+                cfg, p, *a, attn_impl="pallas", mesh=mesh))(params, *args)
+    finally:
+        attn_ops.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_falls_back_to_xla_when_indivisible():
+    """B=1 on a dp=2 mesh cannot shard_map -> XLA attention (GSPMD
+    partitions einsums; a bare pallas_call would be replicated)."""
+    from frameino_tpu.ops import attention as attn_ops
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=1, sp=1),
+                     devices=jax.devices()[:2])
+    assert attn_ops.needs_sharded_attention(mesh)
+    assert not attn_ops.needs_sharded_attention(None)
+    assert not attn_ops.needs_sharded_attention(
+        make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, sp=1),
+                  devices=jax.devices()[:1]))
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (1, 4, 64, 16))
+    k = jax.random.normal(ks[1], (1, 4, 64, 16))
+    v = jax.random.normal(ks[2], (1, 4, 64, 16))
+    ref = attn_ops.attention_xla(q, k, v)
+    with mesh:
+        out = jax.jit(lambda q, k, v: attn_ops.dispatch_attention(
+            q, k, v, mesh=mesh, impl="pallas"))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_only_mesh_gradients_match_unsharded():
+    """Training meshes are typically fsdp/tp with sp == 1 — backward
+    through the batch/head-sharded attention shard_map must equal the
+    unsharded gradients (the default attn_impl=None path)."""
+    cfg, params, args = _setup()
+
+    def loss(p, mesh):
+        out = wan_dit.wan_dit_forward(cfg, p, *args, differentiable=True,
+                                      mesh=mesh)
+        return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, None)))(params)
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, sp=1),
+                     devices=jax.devices()[:8])
+    with mesh:
+        g_tp = jax.jit(jax.grad(lambda p: loss(p, mesh)))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-5)
