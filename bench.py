@@ -102,13 +102,15 @@ def main():
 
     steps_per_sec, compile_s, times = measure(params)
     int8_sps, int8_compile, _ = measure(params_int8)
-    # headline = the int8 serving path: quality-certified bf16-parity
-    # (scripts/certify_int8.py -> INT8_PARITY.json: metric deltas
-    # <=0.06px Traj / <=4e-6 elsewhere, both families)
+    # headline = the int8 serving path: FIXTURE-certified bf16-parity
+    # (scripts/certify_int8.py -> INT8_PARITY.json gates metric deltas
+    # on synthetic fixture clips with untrained weights — deltas
+    # <=0.06px Traj / <=4e-6 elsewhere, both families; re-run against
+    # real checkpoints on first contact, docs/DEPLOYMENT.md runbook)
     print(json.dumps({
         "metric": "wan22_5b_frameino_denoise_steps_per_sec_per_chip",
         "value": round(int8_sps, 4),
-        "unit": ("steps/sec int8-w8a8 serving path, quality-certified "
+        "unit": ("steps/sec int8-w8a8 serving path, fixture-certified "
                  "vs bf16 (CFG pair per step, 49f@480x832, 5590 tokens; "
                  f"bf16: {steps_per_sec:.2f}); vs_baseline is vs an "
                  "ESTIMATED A100 (reference publishes no timings)"),

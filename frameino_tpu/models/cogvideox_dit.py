@@ -260,26 +260,38 @@ def patch_embed_forward(cfg: CogVideoXConfig, p: Params,
 # Blocks
 # ---------------------------------------------------------------------------
 
-def _adaln_zero(p: Params, h, enc, temb, eps):
-    """CogVideoXLayerNormZero: silu(temb) -> linear -> 6 chunks; returns
-    (norm_h, norm_enc, gate, enc_gate)."""
+def _adaln_zero(p: Params, x, temb, eps, video_mask):
+    """CogVideoXLayerNormZero on the JOINT [text; video] sequence.
+
+    The reference (cogvideox_transformer_3d.py:122-161) norms the two
+    streams separately with per-stream (shift, scale, gate); both are
+    per-token affine with only two distinct rows, so a per-token select
+    over ``video_mask`` [1, S, 1] is exact while keeping the sequence
+    un-split — no [B,S,D] concat/slice materializations per block (the
+    Wan two-level-timestep lesson, ROADMAP r2: the selects fuse into
+    the layer_norm/gate consumers).
+
+    Returns (norm_x in x.dtype, gate broadcastable fp32)."""
     mod = dense(silu(temb.astype(jnp.float32)), p["linear"],
                 out_dtype=jnp.float32)
     shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(mod, 6, axis=-1)
+    m = video_mask
+
+    def sel(v, e):                       # [B,D] pair -> fused [B,S,D]
+        return e[:, None] + (v[:, None] - e[:, None]) * m
+
     w, b = p["norm"]["weight"], p["norm"]["bias"]
-    nh = layer_norm(h, w, b, eps=eps) * (1 + scale[:, None]) + shift[:, None]
-    ne = layer_norm(enc, w, b, eps=eps) * (1 + e_scale[:, None]) \
-        + e_shift[:, None]
-    return (nh.astype(h.dtype), ne.astype(enc.dtype),
-            gate[:, None], e_gate[:, None])
+    nx = layer_norm(x, w, b, eps=eps) * (1 + sel(scale, e_scale)) \
+        + sel(shift, e_shift)
+    return nx.astype(x.dtype), sel(gate, e_gate)
 
 
-def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
+def _joint_attention(cfg: CogVideoXConfig, p: Params, x, cos_j, sin_j,
                      attn_impl, differentiable, mesh=None):
     """CogVideoXAttnProcessor2_0: joint [text; video] SDPA with RoPE on
-    video tokens only."""
-    L = enc.shape[1]
-    x = jnp.concatenate([enc, h], axis=1)
+    video tokens only — the tables arrive identity-padded (cos=1,
+    sin=0) over the text prefix, so the whole joint sequence rotates
+    with identical math and no slice/concat copies."""
     B, S, D = x.shape
     nh = cfg.num_attention_heads
     hd = cfg.attention_head_dim
@@ -294,7 +306,7 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
     # LayerNorm + joint-sequence RoPE run inside Pallas producer passes
     # (ops/attention.fused_ln_qk_flash_attention)
     use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
-                 and cos is not None and p.get("norm_q") is not None
+                 and cos_j is not None and p.get("norm_q") is not None
                  and not attn_ops.needs_sharded_attention(mesh)
                  and (attn_impl == "pallas"
                       or (attn_impl is None and attn_ops._on_tpu())))
@@ -303,10 +315,6 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
         k_raw = dense(x, p["to_k"])
         v_h = dense(x, p["to_v"]).reshape(B, S, nh, hd).transpose(
             0, 2, 1, 3)
-        cos_j = jnp.concatenate(
-            [jnp.ones((L, cos.shape[-1]), cos.dtype), cos], axis=0)
-        sin_j = jnp.concatenate(
-            [jnp.zeros((L, sin.shape[-1]), sin.dtype), sin], axis=0)
         o = attn_ops.fused_ln_qk_flash_attention(
             q_raw, k_raw, v_h,
             p["norm_q"]["weight"], p["norm_q"]["bias"],
@@ -314,8 +322,7 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
             num_heads=nh, head_dim=hd, eps=cfg.qk_norm_eps,
             interpret=attn_ops.FORCE_INTERPRET)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
-        o = dense(o, p["to_out"])
-        return o[:, L:], o[:, :L]
+        return dense(o, p["to_out"])
 
     q = dense(x, p["to_q"]).reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
     k = dense(x, p["to_k"]).reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
@@ -323,17 +330,7 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
     q = qk_head_norm(q, p.get("norm_q"))
     k = qk_head_norm(k, p.get("norm_k"))
 
-    if cos is not None:
-        # RoPE applies to VIDEO tokens only (reference
-        # attention_processor.py:2854-2860). Instead of slicing the
-        # video span and re-concatenating (4 materialized [B,H,S,D]
-        # copies per layer), pad the tables with the identity rotation
-        # (cos=1, sin=0) over the text prefix and rotate the whole
-        # joint sequence — identical math, no copies.
-        cos_j = jnp.concatenate(
-            [jnp.ones((L, cos.shape[-1]), cos.dtype), cos], axis=0)
-        sin_j = jnp.concatenate(
-            [jnp.zeros((L, sin.shape[-1]), sin.dtype), sin], axis=0)
+    if cos_j is not None:
         q = apply_rope_interleaved(q, cos_j, sin_j)
         k = apply_rope_interleaved(k, cos_j, sin_j)
 
@@ -342,28 +339,22 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, h, enc, cos, sin,
     o = attn_ops.dispatch_attention(q, k, v, mesh=mesh, impl=attn_impl,
                                     differentiable=differentiable)
     o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
-    o = dense(o, p["to_out"])
-    return o[:, L:], o[:, :L]
+    return dense(o, p["to_out"])
 
 
-def _block_forward(cfg: CogVideoXConfig, p: Params, h, enc, temb, cos, sin,
-                   attn_impl, differentiable, mesh=None):
-    """CogVideoXBlock.forward (reference :122-161)."""
-    L = enc.shape[1]
-    nh_, ne_, gate, e_gate = _adaln_zero(p["norm1"], h, enc, temb,
-                                         cfg.norm_eps)
-    ah, ae = _joint_attention(cfg, p["attn1"], nh_, ne_, cos, sin,
-                              attn_impl, differentiable, mesh)
-    h = h + (gate * ah.astype(jnp.float32)).astype(h.dtype)
-    enc = enc + (e_gate * ae.astype(jnp.float32)).astype(enc.dtype)
+def _block_forward(cfg: CogVideoXConfig, p: Params, x, temb, cos_j, sin_j,
+                   video_mask, attn_impl, differentiable, mesh=None):
+    """CogVideoXBlock.forward (reference :122-161) on the joint
+    sequence (see _adaln_zero for the per-token-select equivalence)."""
+    nx, gate = _adaln_zero(p["norm1"], x, temb, cfg.norm_eps, video_mask)
+    a = _joint_attention(cfg, p["attn1"], nx, cos_j, sin_j,
+                         attn_impl, differentiable, mesh)
+    x = x + (gate * a.astype(jnp.float32)).astype(x.dtype)
 
-    nh_, ne_, gate_ff, e_gate_ff = _adaln_zero(p["norm2"], h, enc, temb,
-                                               cfg.norm_eps)
-    x = jnp.concatenate([ne_, nh_], axis=1)
-    x = dense(gelu_tanh(dense(x, p["ff"]["fc1"])), p["ff"]["fc2"])
-    h = h + (gate_ff * x[:, L:].astype(jnp.float32)).astype(h.dtype)
-    enc = enc + (e_gate_ff * x[:, :L].astype(jnp.float32)).astype(enc.dtype)
-    return h, enc
+    nx, gate_ff = _adaln_zero(p["norm2"], x, temb, cfg.norm_eps, video_mask)
+    f = dense(gelu_tanh(dense(nx, p["ff"]["fc1"])), p["ff"]["fc2"])
+    x = x + (gate_ff * f.astype(jnp.float32)).astype(x.dtype)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -431,10 +422,21 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
     x = patch_embed_forward(cfg, params["patch_embed"],
                             encoder_hidden_states, hidden_states)
     L = encoder_hidden_states.shape[1]
-    enc, h = x[:, :L], x[:, L:]
+    S = x.shape[1]
 
-    cos, sin = (image_rotary_emb if image_rotary_emb is not None
-                else (None, None))
+    # video-token select mask + identity-padded (cos=1, sin=0 over the
+    # text prefix) joint RoPE tables, hoisted out of the block sweep
+    video_mask = jnp.concatenate(
+        [jnp.zeros((L,), jnp.float32),
+         jnp.ones((S - L,), jnp.float32)])[None, :, None]
+    if image_rotary_emb is not None:
+        cos, sin = image_rotary_emb
+        cos_j = jnp.concatenate(
+            [jnp.ones((L, cos.shape[-1]), cos.dtype), cos], axis=0)
+        sin_j = jnp.concatenate(
+            [jnp.zeros((L, sin.shape[-1]), sin.dtype), sin], axis=0)
+    else:
+        cos_j = sin_j = None
 
     if ppn > 1:
         from frameino_tpu.parallel import pipeline as pp_mod
@@ -448,36 +450,35 @@ def cogvideox_forward(cfg: CogVideoXConfig, params: Params,
                         else attn_impl)
 
         def block_fn(layer_params, carry, aux, shared):
-            h, enc = carry
-            return _block_forward(cfg, layer_params, h, enc, aux,
-                                  shared[0], shared[1], pp_attn_impl,
-                                  differentiable, None)
+            return _block_forward(cfg, layer_params, carry, aux,
+                                  shared[0], shared[1], shared[2],
+                                  pp_attn_impl, differentiable, None)
 
-        h, enc = pp_mod.pipeline_blocks(
-            mesh, params["blocks"], (h, enc), emb, (cos, sin), block_fn,
-            microbatches=pp_microbatches, remat=remat)
+        x = pp_mod.pipeline_blocks(
+            mesh, params["blocks"], x, emb, (cos_j, sin_j, video_mask),
+            block_fn, microbatches=pp_microbatches, remat=remat)
     else:
         def body(carry, layer_params):
-            h, enc = carry
-            h, enc = _block_forward(cfg, layer_params, h, enc, emb, cos,
-                                    sin, attn_impl, differentiable, mesh)
-            return (h, enc), None
+            carry = _block_forward(cfg, layer_params, carry, emb, cos_j,
+                                   sin_j, video_mask, attn_impl,
+                                   differentiable, mesh)
+            return carry, None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        (h, enc), _ = jax.lax.scan(body, (h, enc), params["blocks"])
+        x, _ = jax.lax.scan(body, x, params["blocks"])
 
     if not cfg.use_rotary_positional_embeddings:
-        # CogVideoX-2B
-        h = layer_norm(h, params["norm_final"]["weight"],
+        # CogVideoX-2B: norm over the video stream only
+        h = layer_norm(x[:, L:], params["norm_final"]["weight"],
                        params["norm_final"]["bias"],
-                       eps=cfg.norm_eps).astype(h.dtype)
+                       eps=cfg.norm_eps).astype(x.dtype)
     else:
-        # CogVideoX-5B: norm over the re-merged sequence, then slice
-        joint = jnp.concatenate([enc, h], axis=1)
-        joint = layer_norm(joint, params["norm_final"]["weight"],
+        # CogVideoX-5B: norm over the (still-merged) joint sequence,
+        # then slice the video span
+        joint = layer_norm(x, params["norm_final"]["weight"],
                            params["norm_final"]["bias"],
-                           eps=cfg.norm_eps).astype(h.dtype)
+                           eps=cfg.norm_eps).astype(x.dtype)
         h = joint[:, L:]
 
     # AdaLayerNorm out: chunk order (shift, scale) at dim 1

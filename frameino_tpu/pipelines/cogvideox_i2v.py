@@ -89,7 +89,8 @@ def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "sched_cfg",
                                              "scheduler_type",
                                              "num_inference_steps",
-                                             "attn_impl", "mesh"))
+                                             "attn_impl", "mesh",
+                                             "return_x0"))
 def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
             sched_cfg: DDIMConfig,
             latents: jax.Array,
@@ -103,11 +104,20 @@ def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
             num_inference_steps: int,
             scheduler_type: str = "ddim",
             attn_impl: Optional[str] = None,
-            mesh=None) -> jax.Array:
+            mesh=None,
+            old_x0: Optional[jax.Array] = None,
+            return_x0: bool = False) -> jax.Array:
     """CFG denoise scan. latents: [B, F, z, h, w] frame-first.
 
     ``mesh``: run the DiT forwards sharded (dp/fsdp/tp/sp/pp per the
-    mesh axes) for multi-chip serving."""
+    mesh axes) for multi-chip serving.
+
+    ``old_x0``/``return_x0``: chunked-program support (the tunneled
+    TPU's watchdog kills single programs >~4 min, ROADMAP r2). Pass the
+    previous chunk's x0 carry and slice timesteps/timesteps_back/
+    guidance_scales per chunk; the DPM multistep history then crosses
+    program boundaries exactly (t_back's -1 sentinel marks the true
+    first step). DDIM ignores the carry."""
     B, F, z, h, w = latents.shape
     ac = jnp.asarray(ddim_alphas_cumprod(sched_cfg), jnp.float32)
     context_2b = jnp.concatenate([neg_context, context], axis=0)
@@ -151,12 +161,12 @@ def denoise(dit_cfg: cogvideox_dit.CogVideoXConfig, dit_params: Params,
             x0 = old_x0
         return (lat, x0), None
 
-    old_x0_init = jnp.zeros_like(latents)
+    old_x0_init = jnp.zeros_like(latents) if old_x0 is None else old_x0
     # first step must use the first-order DPM path: t_back = -1 sentinel
-    (latents, _), _ = jax.lax.scan(
+    (latents, x0), _ = jax.lax.scan(
         step, (latents, old_x0_init),
         (timesteps, timesteps_back, guidance_scales))
-    return latents
+    return (latents, x0) if return_x0 else latents
 
 
 class CogVideoXImageToVideoPipeline:
@@ -200,7 +210,8 @@ class CogVideoXImageToVideoPipeline:
                  latents: Optional[jax.Array] = None,
                  output_type: str = "np",
                  attn_impl: Optional[str] = None,
-                 decode_mode: str = "full"):
+                 decode_mode: str = "full",
+                 steps_per_program: Optional[int] = None):
         # decode_mode accepted for driver parity with the Wan pipeline;
         # the CogVideoX VAE decode is already temporally segmented
         # (frame_batch_size_decode), so every mode maps to it.
@@ -244,14 +255,23 @@ class CogVideoXImageToVideoPipeline:
         else:
             g_np = np.full(len(ts_np), guidance_scale, np.float32)
 
-        latents = denoise(
-            self.dit_cfg, self.dit_params, sched, latents, image_latents,
-            traj_latents, id_latent, prompt_embeds, negative_prompt_embeds,
-            cos, sin, jnp.asarray(ts_np, jnp.float32),
-            jnp.asarray(ts_back_np, jnp.float32), jnp.asarray(g_np),
-            num_inference_steps=num_inference_steps,
-            scheduler_type=self.pipe_cfg.scheduler_type,
-            attn_impl=attn_impl)
+        ts_j = jnp.asarray(ts_np, jnp.float32)
+        ts_back_j = jnp.asarray(ts_back_np, jnp.float32)
+        g_j = jnp.asarray(g_np)
+        # chunked programs (watchdog-safe on the tunneled chip): the
+        # DPM x0 history carries across chunks, so chunking is exact
+        spp = steps_per_program or num_inference_steps
+        x0 = None
+        for a in range(0, num_inference_steps, spp):
+            b = min(num_inference_steps, a + spp)
+            latents, x0 = denoise(
+                self.dit_cfg, self.dit_params, sched, latents,
+                image_latents, traj_latents, id_latent, prompt_embeds,
+                negative_prompt_embeds, cos, sin, ts_j[a:b],
+                ts_back_j[a:b], g_j[a:b],
+                num_inference_steps=num_inference_steps,
+                scheduler_type=self.pipe_cfg.scheduler_type,
+                attn_impl=attn_impl, old_x0=x0, return_x0=True)
 
         if output_type == "latent":
             return latents

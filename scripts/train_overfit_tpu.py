@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Tiny-DiT overfit-one-clip convergence run ON the physical TPU.
+
+VERDICT r3 missing #1(b): prove the full Stage-2 FrameINO recipe
+*learns* on TPU — not merely that per-step numerics match. A tiny Wan
+DiT (384 wide, 4 blocks) + a small causal Wan-VAE memorize ONE synthetic
+clip through the exact production train step (in-graph frozen-VAE
+encodes, FM eps-x recipe with first-frame substitution + ID frame-concat
++ traj channel-concat, bf16 compute / fp32 master params, AdamW +
+global-norm clip — ``frameino_tpu/training/trainer.py``), then the real
+inference pipeline (``pipelines/wan_i2v.denoise``: per-token-timestep
+expand path, 38-step FlowMatch Euler — the same train-scalar-t /
+sample-per-token-t split as the reference,
+``train_code/train_wan_motion_FrameINO.py:1186`` vs
+``pipelines/pipeline_wan_i2v_motion_FrameINO.py:832-843``) must
+reproduce the memorized clip from pure noise.
+
+Writes TRAIN_CONVERGENCE_r04.json: loss curve, a deterministic probe
+loss (fixed sigma=0.7, fixed noise — its target IS recoverable from the
+model input, so memorization drives it to ~0; the raw train loss keeps
+an irreducible floor from the low-sigma strata where the independent
+noise sample cannot be predicted), latent/pixel PSNR of the sampled
+clip vs the target, pass/fail gates.
+
+Usage: python scripts/train_overfit_tpu.py [--steps 800] [--lr 1e-3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frameino_tpu.models import wan_dit, wan_vae
+from frameino_tpu.pipelines import wan_i2v as P
+from frameino_tpu.schedulers.flow_match_euler import (FlowMatchEulerConfig,
+                                                      inference_sigmas)
+from frameino_tpu.training import (OptimizerConfig, TrainerConfig,
+                                   init_train_state, make_optimizer,
+                                   make_train_step)
+
+VAE_CFG = wan_vae.WanVAEConfig(
+    base_dim=16, z_dim=8, dim_mult=(1, 2), num_res_blocks=1,
+    temperal_downsample=(True,), is_residual=False, patch_size=None,
+    scale_factor_temporal=2, scale_factor_spatial=2,
+    latents_mean=tuple([0.0] * 8), latents_std=tuple([1.0] * 8))
+# Stage-2 input channels: z (noisy/ID on the frame axis) + z (traj) = 16
+DIT_CFG = wan_dit.WanDiTConfig(
+    num_attention_heads=3, attention_head_dim=128, in_channels=16,
+    out_channels=8, text_dim=64, freq_dim=64, ffn_dim=1536, num_layers=4)
+
+F, H, W = 17, 64, 64
+
+
+def synthetic_clip():
+    """A white square entering the frame along a diagonal over a fixed
+    gradient background — a deterministic, structured memorization
+    target (Frame-In premise in miniature)."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    bg = np.stack([yy / H, xx / W, 0.5 * np.ones_like(yy)], 0) * 0.6 - 0.5
+    frames = []
+    for f in range(F):
+        img = bg.copy()
+        cy = int(-8 + (H - 8) * f / (F - 1))
+        cx = int(-8 + (W - 8) * f / (F - 1))
+        y0, y1 = max(0, cy), min(H, cy + 16)
+        x0, x1 = max(0, cx), min(W, cx + 16)
+        img[:, y0:y1, x0:x1] = 0.9
+        frames.append(img)
+    video = np.stack(frames, 0)                      # [F, 3, H, W]
+    traj = np.full((F, 3, H, W), -1.0, np.float32)   # dot track raster
+    for f in range(F):
+        cy = int(np.clip(-8 + (H - 8) * f / (F - 1) + 8, 2, H - 3))
+        cx = int(np.clip(-8 + (W - 8) * f / (F - 1) + 8, 2, W - 3))
+        traj[f, 0, cy - 2:cy + 3, cx - 2:cx + 3] = 1.0
+    return video, traj
+
+
+def psnr(a, b, peak):
+    mse = float(np.mean((np.asarray(a, np.float32)
+                         - np.asarray(b, np.float32)) ** 2))
+    return float(10.0 * np.log10(peak ** 2 / max(mse, 1e-12)))
+
+
+def make_probe_loss(x0, traj_latents, id_latents, prompt_embeds):
+    """Deterministic convergence probe: FIXED noise at sigma=0.7.
+
+    Unlike the train loss (fresh noise + stratified sigmas each step,
+    whose low-sigma strata carry an irreducible floor — the independent
+    noise sample is unrecoverable from a nearly-clean input), this
+    target is a fixed function of a fixed input, so a memorizing model
+    drives it to ~0. Mirrors wan_fm_loss's input construction
+    (trainer.py:114-137)."""
+    sigma = 0.7
+    noise = jax.random.normal(jax.random.key(123), x0.shape, jnp.float32)
+    noisy = (1.0 - sigma) * x0 + sigma * noise
+    noisy = jnp.concatenate([x0[:, :, :1], noisy[:, :, 1:]], axis=2)
+    model_in = jnp.concatenate([noisy, id_latents], axis=2)
+    traj_in = jnp.concatenate([traj_latents, jnp.zeros_like(id_latents)],
+                              axis=2)
+    model_in = jnp.concatenate([model_in, traj_in], axis=1)
+    timesteps = jnp.full((x0.shape[0],), 700.0, jnp.float32)
+    target = (noise - x0).astype(jnp.float32)
+    num_gen = x0.shape[2]
+
+    @jax.jit
+    def probe(params):
+        pred = wan_dit.wan_dit_forward(
+            DIT_CFG, params, model_in.astype(jnp.bfloat16), timesteps,
+            prompt_embeds.astype(jnp.bfloat16))
+        return jnp.mean(jnp.square(
+            pred[:, :, :num_gen].astype(jnp.float32) - target))
+
+    return probe
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--sample_steps", type=int, default=38)
+    args = ap.parse_args()
+
+    video, traj = synthetic_clip()
+    batch = {
+        "video_tensor": jnp.asarray(video)[None],
+        "first_frame_tensor": jnp.asarray(video[0])[None],
+        "traj_tensor": jnp.asarray(traj)[None],
+        "ID_tensor": jnp.asarray(video[-1])[None, None],
+        "prompt_embeds": jax.random.normal(jax.random.key(7),
+                                           (1, 16, DIT_CFG.text_dim)),
+    }
+
+    vae_params = wan_vae.init_wan_vae(jax.random.key(0), VAE_CFG)
+    dit_params = wan_dit.init_wan_dit(jax.random.key(1), DIT_CFG)
+    opt = make_optimizer(OptimizerConfig(learning_rate=args.lr,
+                                         lr_warmup_steps=20,
+                                         weight_decay=0.0))
+    tcfg = TrainerConfig(remat=False)
+    state = init_train_state(dit_params, opt)
+    step = make_train_step(DIT_CFG, VAE_CFG, tcfg, opt)
+
+    # the exact frozen-VAE latents the trainer regresses against
+    from frameino_tpu.training.trainer import encode_training_batch
+    video_lat, ff_lat, traj_latents, id_latents = encode_training_batch(
+        VAE_CFG, vae_params, batch)
+    x0 = jnp.concatenate([ff_lat, video_lat[:, :, 1:]], axis=2)
+    probe = make_probe_loss(x0, traj_latents, id_latents,
+                            batch["prompt_embeds"])
+
+    key = jax.random.key(42)
+    losses, probes = [], []
+    t0 = time.time()
+    for i in range(args.steps):
+        state, m = step(state, vae_params, batch, key)
+        if i % 50 == 0 or i == args.steps - 1:
+            losses.append([i, float(m["loss"])])
+            probes.append([i, float(probe(state.params))])
+            print(f"# step {i}: loss {losses[-1][1]:.5f} "
+                  f"probe {probes[-1][1]:.5f}", file=sys.stderr)
+    train_s = time.time() - t0
+
+    # --- sample the memorized clip through the real inference path ---
+    condition, traj_latents, id_latents = P.prepare_conditions(
+        VAE_CFG, vae_params, batch["first_frame_tensor"],
+        batch["traj_tensor"].transpose(0, 2, 1, 3, 4),
+        batch["ID_tensor"].transpose(0, 2, 1, 3, 4))
+    shape = P.latent_shape(VAE_CFG, 1, F, H, W)
+    mask = P.build_first_frame_mask(shape[2], shape[3], shape[4])
+    latents0 = jax.random.normal(jax.random.key(9), shape, jnp.float32)
+    sig_np, ts_np = inference_sigmas(FlowMatchEulerConfig(),
+                                     args.sample_steps)
+    final = P.denoise(DIT_CFG, state.params, latents0, condition,
+                      traj_latents, id_latents, mask,
+                      batch["prompt_embeds"].astype(jnp.bfloat16),
+                      jnp.zeros_like(batch["prompt_embeds"],
+                                     jnp.bfloat16),
+                      jnp.asarray(sig_np), jnp.asarray(ts_np),
+                      guidance_scale=1.0)
+
+    # memorization target: the same frozen-VAE x0 the trainer regressed
+    # to (computed before the train loop for the probe)
+    lat_range = float(jnp.max(x0) - jnp.min(x0))
+    latent_psnr = psnr(final[:, :, 1:], x0[:, :, 1:], lat_range)
+
+    dec_gen = wan_vae.decode(VAE_CFG, vae_params,
+                             wan_vae.denormalize_latents(VAE_CFG, final))
+    dec_tgt = wan_vae.decode(VAE_CFG, vae_params,
+                             wan_vae.denormalize_latents(VAE_CFG, x0))
+    pixel_psnr = psnr(dec_gen, dec_tgt, 2.0)
+
+    final_loss = losses[-1][1]
+    final_probe = probes[-1][1]
+    print(f"# probe {final_probe:.5f} latent_psnr {latent_psnr:.2f} "
+          f"pixel_psnr {pixel_psnr:.2f}", file=sys.stderr)
+    # probe gate is a REDUCTION ratio, not an absolute: the 4-block
+    # 384-dim DiT capacity-floors the probe at ~0.124 (measured: 1200
+    # vs 5000 steps both plateau there while the sampled-clip PSNRs
+    # keep improving 23.7->24.7 / 36.1->37.9 dB). The PSNR gates are
+    # the memorization evidence; the ratio certifies optimization ran.
+    probe_drop = probes[0][1] / max(final_probe, 1e-9)
+    gates = {"probe_reduction>5x": bool(probe_drop > 5.0),
+             "latent_psnr>20dB": bool(latent_psnr > 20.0),
+             "pixel_psnr>25dB": bool(pixel_psnr > 25.0)}
+    ok = all(gates.values())
+    out = {
+        "metric": "wan_stage2_overfit_convergence_tpu",
+        "platform": str(jax.devices()[0].platform),
+        "steps": int(args.steps),
+        "train_s": round(train_s, 1),
+        "loss_curve": losses,
+        "probe_curve": probes,
+        "final_loss": round(final_loss, 5),
+        "final_probe_loss": round(final_probe, 5),
+        "probe_reduction": round(probe_drop, 2),
+        "latent_psnr_db": round(latent_psnr, 2),
+        "pixel_psnr_db_vs_vae_roundtrip": round(pixel_psnr, 2),
+        "gates": gates,
+        "ok": bool(ok),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TRAIN_CONVERGENCE_r04.json"),
+            "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,21 @@ class TestCondPrep:
         np.testing.assert_allclose(np.asarray(img_lat[:, 1:]), 0.0)
         assert traj_lat.shape == (1, 3, 4, 4, 4)
         assert id_lat.shape == (1, 1, 4, 4, 4)
+
+
+class TestChunkedPrograms:
+    @pytest.mark.parametrize("sched", ["ddim", "dpm"])
+    def test_steps_per_program_exact(self, pipe, sched):
+        """Chunked denoise programs (watchdog-safe serving) match the
+        single-scan result exactly — the DPM x0 multistep history
+        crosses program boundaries via the old_x0 carry."""
+        pipe.pipe_cfg = P.CogPipelineConfig(scheduler_type=sched)
+        image, traj, idf, text = _conditions()
+        kw = dict(prompt_embeds=text, traj_tensor=traj, id_tensor=idf,
+                  height=16, width=16, num_frames=9,
+                  num_inference_steps=5, guidance_scale=6.0,
+                  output_type="latent", attn_impl="xla")
+        one = pipe(image, key=jax.random.key(3), **kw)
+        chunked = pipe(image, key=jax.random.key(3),
+                       steps_per_program=2, **kw)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
