@@ -59,11 +59,14 @@ def _cconv_fwd(x, p, cache, padding, stride=(1, 1, 1)):
     if "kernel_q" in p:   # int8 w8a8 serving path (quantize_wan_vae_int8)
         return cops._conv_int8(x, p["kernel_q"], p["scale"], p.get("bias"),
                                (st, sh, sw), pads, dn)
+    accum = cops.default_accum_dtype()   # fp32; bf16 under the trainer's
+    if jnp.dtype(accum).itemsize < jnp.dtype(x.dtype).itemsize:  # encode scope
+        x = x.astype(accum)
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), window_strides=(st, sh, sw),
         padding=pads, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
-    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+        preferred_element_type=accum)
+    return (y + p["bias"].astype(accum)).astype(x.dtype)
 
 
 def _cconv_call(x, p, cache, idx, padding):
@@ -239,6 +242,46 @@ def streaming_decode(cfg: M.WanVAEConfig, params: Params, z: jax.Array,
         out = M.unpatchify(out, cfg.patch_size)
     out = M._to_cf(out)
     return jnp.clip(out, -1.0, 1.0) if clamp else out
+
+
+def encode_moments_inline(cfg: M.WanVAEConfig, params: Params,
+                          video: jax.Array,
+                          chunk_pixel_frames: int = 8) -> jax.Array:
+    """TRACEABLE chunked encode — same chunk protocol as
+    ``streaming_encode_moments`` but with no inner ``jax.jit``, so it can
+    run inside an outer jitted program (the one-jit train step,
+    ``training/trainer.py``). Chunks are serialized with
+    ``optimization_barrier`` so XLA frees each chunk's near-full-res
+    encoder temps before starting the next: peak activation memory drops
+    from the whole clip's stage-1 activations (5x 1.58 GB at
+    480x832x49f — the 16 GB OOM in scripts/bench_train.py) to one
+    chunk's. Numerics == ``wan_vae.encode_moments`` (chunk protocol ==
+    full-sequence form; equivalence-tested in tests/test_vae_streaming.py).
+    """
+    assert chunk_pixel_frames % 4 == 0
+    x = M._to_cl(video)
+    if cfg.patch_size is not None:
+        x = M.patchify(x, cfg.patch_size)
+    T = x.shape[1]
+    sizes = [1]
+    while sum(sizes) < T:
+        sizes.append(min(chunk_pixel_frames, T - sum(sizes)))
+
+    outs: List = []
+    caches: Tuple = ()
+    pos = 0
+    for n in sizes:
+        xc = x[:, pos:pos + n]
+        if outs:
+            xc = jax.lax.optimization_barrier((outs[-1], xc))[1]
+        cache: List = list(caches) + [None] * (_MAX_CACHE - len(caches))
+        idx = [0]
+        outs.append(_encoder_chunk(cfg, params["encoder"], xc, cache, idx))
+        caches = tuple(cache[:idx[0]])
+        pos += n
+    out = jnp.concatenate(outs, axis=1)
+    out = cops.causal_conv3d(out, **params["quant_conv"])
+    return M._to_cf(out)
 
 
 def streaming_encode_moments(cfg: M.WanVAEConfig, params: Params,

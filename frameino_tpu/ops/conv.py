@@ -32,6 +32,14 @@ import numpy as np
 
 IntOr3 = Union[int, Tuple[int, int, int]]
 
+# Shared trace-time precision scope (see ops/precision.py): f32 default
+# keeps serving decode bit-stable; the trainer's frozen-VAE encodes run
+# under ``accum_dtype_scope(bf16)`` — reference-parity with the torch
+# bf16 autocast encode (train_wan_motion_FrameINO.py:507-657).
+from frameino_tpu.ops.precision import (accum_dtype_scope as
+                                        conv_accum_dtype,  # noqa: F401
+                                        default_accum_dtype)
+
 
 def _triple(x: IntOr3) -> Tuple[int, int, int]:
     return (x, x, x) if isinstance(x, int) else tuple(x)
@@ -65,7 +73,7 @@ def causal_conv3d(x: jax.Array, kernel: Optional[jax.Array] = None,
                   bias: Optional[jax.Array] = None,
                   stride: IntOr3 = 1,
                   padding: IntOr3 = 0,
-                  accum_dtype=jnp.float32,
+                  accum_dtype=None,
                   kernel_q: Optional[jax.Array] = None,
                   scale: Optional[jax.Array] = None) -> jax.Array:
     """Causal 3D conv, channels-last.
@@ -80,6 +88,10 @@ def causal_conv3d(x: jax.Array, kernel: Optional[jax.Array] = None,
     per-output-channel ``scale`` — ``models/quant.quantize_wan_vae_int8``)
     the w8a8 path runs instead; call sites splat params unchanged.
     """
+    if accum_dtype is None:
+        accum_dtype = default_accum_dtype()
+    if jnp.dtype(accum_dtype).itemsize < jnp.dtype(x.dtype).itemsize:
+        x = x.astype(accum_dtype)   # autocast semantics under the scope
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
     pads = ((2 * pt, 0), (ph, ph), (pw, pw))
@@ -102,10 +114,14 @@ def conv3d(x: jax.Array, kernel: Optional[jax.Array] = None,
            bias: Optional[jax.Array] = None,
            stride: IntOr3 = 1,
            padding: Union[str, Sequence[Tuple[int, int]]] = "VALID",
-           accum_dtype=jnp.float32,
+           accum_dtype=None,
            kernel_q: Optional[jax.Array] = None,
            scale: Optional[jax.Array] = None) -> jax.Array:
     """Plain 3D conv (used for the DiT Conv3d patch embedding)."""
+    if accum_dtype is None:
+        accum_dtype = default_accum_dtype()
+    if jnp.dtype(accum_dtype).itemsize < jnp.dtype(x.dtype).itemsize:
+        x = x.astype(accum_dtype)   # autocast semantics under the scope
     st, sh, sw = _triple(stride) if not isinstance(stride, tuple) else stride
     dn = ("NDHWC", "DHWIO", "NDHWC")
     if kernel_q is not None:
@@ -127,10 +143,14 @@ def conv2d(x: jax.Array, kernel: Optional[jax.Array] = None,
            bias: Optional[jax.Array] = None,
            stride: Union[int, Tuple[int, int]] = 1,
            padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
-           accum_dtype=jnp.float32,
+           accum_dtype=None,
            kernel_q: Optional[jax.Array] = None,
            scale: Optional[jax.Array] = None) -> jax.Array:
     """2D conv, channels-last. x: [N, H, W, C]; kernel: [kh, kw, Cin, Cout]."""
+    if accum_dtype is None:
+        accum_dtype = default_accum_dtype()
+    if jnp.dtype(accum_dtype).itemsize < jnp.dtype(x.dtype).itemsize:
+        x = x.astype(accum_dtype)   # autocast semantics under the scope
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     dn = ("NHWC", "HWIO", "NHWC")
     if kernel_q is not None:

@@ -50,9 +50,23 @@ def l2_normalize_channel(x, scale: float, gamma, bias=0.0, axis: int = 1):
     ``F.normalize(x, dim=1) * dim**0.5 * gamma + bias`` — note torch's
     F.normalize uses an eps-clamped L2 *norm* (eps=1e-12 on the norm, not
     norm²).
+
+    Under the low-precision scope (``ops/precision.accum_dtype_scope``,
+    the trainer's frozen-VAE encode path) the *statistic* stays fp32 but
+    the elementwise apply materializes in the input dtype — the fp32
+    apply otherwise pins a full near-full-res activation temp (3.17 GB
+    at 480x832x49f) that OOMs the 16 GB train-step program.
     """
+    from frameino_tpu.ops.precision import low_precision_scope_active
     xf = x.astype(jnp.float32)
     n = jnp.sqrt(jnp.sum(jnp.square(xf), axis=axis, keepdims=True))
+    if low_precision_scope_active() and x.dtype != jnp.float32:
+        r = jnp.reciprocal(jnp.maximum(n, 1e-12)) * scale
+        y = x * r.astype(x.dtype)
+        y = y * jnp.asarray(gamma, x.dtype)
+        if not (isinstance(bias, float) and bias == 0.0):
+            y = y + jnp.asarray(bias, x.dtype)
+        return y
     y = xf / jnp.maximum(n, 1e-12) * scale
     gamma = jnp.asarray(gamma, jnp.float32)
     y = y * gamma + bias

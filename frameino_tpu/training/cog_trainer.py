@@ -43,6 +43,12 @@ class CogTrainerConfig:
     remat: bool = True
     attn_impl: Optional[str] = None
     augment_noise: bool = True
+    # Frozen-VAE encode materialization dtype; None = follow
+    # compute_dtype (torch-autocast semantics — the reference's encode
+    # runs inside the same bf16 autocast context as the DiT) and the
+    # HBM fix that lets the full-res step fit one 16 GB chip; see
+    # training/trainer.py TrainerConfig.vae_encode_accum_dtype.
+    vae_encode_accum_dtype: Optional[Any] = None
 
 
 def _augment(key, x):
@@ -144,7 +150,13 @@ def make_cog_train_step(dit_cfg: cogvideox_dit.CogVideoXConfig,
                 batch: Dict[str, jax.Array], key: jax.Array):
         key = jax.random.fold_in(key, state.step)
         k_enc, k_loss = jax.random.split(key)
-        enc = encode_training_batch(cfg, vae_cfg, vae_params, batch, k_enc)
+        from frameino_tpu.ops.conv import conv_accum_dtype
+        enc_dtype = (cfg.vae_encode_accum_dtype
+                     if cfg.vae_encode_accum_dtype is not None
+                     else cfg.compute_dtype)
+        with conv_accum_dtype(enc_dtype):
+            enc = encode_training_batch(cfg, vae_cfg, vae_params, batch,
+                                        k_enc)
         video_latents, first_frame_latent, traj_latents, id_latent = enc
 
         def loss_fn(params):

@@ -51,6 +51,18 @@ class TrainerConfig:
     compute_dtype: Any = jnp.bfloat16
     remat: bool = True
     attn_impl: Optional[str] = None
+    # Frozen-VAE encode conv materialization dtype. None = follow
+    # compute_dtype (torch-autocast semantics: the reference's encode
+    # runs inside the SAME bf16 autocast context as the DiT,
+    # train_wan_motion_FrameINO.py:507-657). Under bf16 this halves the
+    # near-full-res encoder activation temps: the 480x832x49f step
+    # program drops from a 20.3 GB OOM to fitting a 16 GB v5e chip
+    # (scripts/bench_train.py). An fp32-compute trainer keeps fp32
+    # encodes.
+    vae_encode_accum_dtype: Optional[Any] = None
+    # In-graph chunked VAE encode (1 + 4k pixel-frame chunks, the
+    # reference's own streaming protocol): None = full-sequence.
+    vae_encode_chunk_frames: Optional[int] = 8
 
 
 @jax.tree_util.register_dataclass
@@ -68,7 +80,8 @@ def init_train_state(dit_params: Params, opt: optax.GradientTransformation
 
 
 def encode_training_batch(vae_cfg: wan_vae.WanVAEConfig, vae_params: Params,
-                          batch: Dict[str, jax.Array]):
+                          batch: Dict[str, jax.Array],
+                          encode_chunk_frames: Optional[int] = 8):
     """Frozen-VAE encodes (reference :507-657, argmax + normalization).
 
     batch tensors, reference dataset layout:
@@ -78,19 +91,47 @@ def encode_training_batch(vae_cfg: wan_vae.WanVAEConfig, vae_params: Params,
       ID_tensor          [B, N_id, C, H, W] (optional)
     """
     def enc(v_cf):
-        z = wan_vae.encode(vae_cfg, vae_params, v_cf, sample_mode="argmax")
+        if v_cf.shape[2] > 1 and encode_chunk_frames:
+            # in-graph chunked encode: peak activation memory = one
+            # chunk, not the whole clip (16 GB OOM otherwise at
+            # 480x832x49f — scripts/bench_train.py); numerics == the
+            # full-sequence encode (chunk protocol equivalence,
+            # tests/test_vae_streaming.py)
+            from frameino_tpu.models import wan_vae_streaming
+            moments = wan_vae_streaming.encode_moments_inline(
+                vae_cfg, vae_params, v_cf,
+                chunk_pixel_frames=encode_chunk_frames)
+            z = jnp.split(moments, 2, axis=1)[0]   # argmax == mean
+        else:
+            z = wan_vae.encode(vae_cfg, vae_params, v_cf,
+                               sample_mode="argmax")
         return wan_vae.normalize_latents(vae_cfg, z)
+
+    def after(dep, x):
+        # The three encodes are data-independent, so XLA's scheduler
+        # overlaps them — tripling the live near-full-res encoder temps
+        # and OOMing the 16 GB train-step program. Threading each
+        # encode's OUTPUT through an optimization_barrier with the next
+        # encode's INPUT forces them to run one at a time (peak = one
+        # encode's temps, measured scripts/bench_train.py).
+        return jax.lax.optimization_barrier((dep, x))[1] if dep is not None \
+            else x
 
     video = batch["video_tensor"].transpose(0, 2, 1, 3, 4)   # -> B,C,F,H,W
     traj = batch["traj_tensor"].transpose(0, 2, 1, 3, 4)
     video_latents = enc(video)
-    first_frame_latent = enc(batch["first_frame_tensor"][:, :, None])
-    traj_latents = enc(traj)
+    first_frame_latent = enc(after(video_latents,
+                                   batch["first_frame_tensor"][:, :, None]))
+    traj_latents = enc(after(first_frame_latent, traj))
 
     id_latents = None
     if batch.get("ID_tensor") is not None:
         idt = batch["ID_tensor"].transpose(0, 2, 1, 3, 4)    # B,C,N,H,W
-        encoded = [enc(idt[:, :, i:i + 1]) for i in range(idt.shape[2])]
+        dep = traj_latents
+        encoded = []
+        for i in range(idt.shape[2]):
+            encoded.append(enc(after(dep, idt[:, :, i:i + 1])))
+            dep = encoded[-1]
         id_latents = jnp.concatenate(encoded, axis=2)
     return video_latents, first_frame_latent, traj_latents, id_latents
 
@@ -155,7 +196,14 @@ def make_train_step(dit_cfg: wan_dit.WanDiTConfig,
             enc = (batch["video_latents"], batch["first_frame_latent"],
                    batch["traj_latents"], batch.get("id_latents"))
         else:
-            enc = encode_training_batch(vae_cfg, vae_params, batch)
+            from frameino_tpu.ops.conv import conv_accum_dtype
+            enc_dtype = (cfg.vae_encode_accum_dtype
+                         if cfg.vae_encode_accum_dtype is not None
+                         else cfg.compute_dtype)
+            with conv_accum_dtype(enc_dtype):
+                enc = encode_training_batch(
+                    vae_cfg, vae_params, batch,
+                    encode_chunk_frames=cfg.vae_encode_chunk_frames)
         video_latents, first_frame_latent, traj_latents, id_latents = enc
 
         key = jax.random.fold_in(key, state.step)

@@ -46,3 +46,18 @@ def test_streaming_encode_matches_full(cfg, cin, chunk):
                                         chunk_pixel_frames=chunk)
     np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cfg,cin", [(CFG21, 3), (CFG22, 3)])
+@pytest.mark.parametrize("chunk", [4, 8])
+def test_inline_encode_matches_full(cfg, cin, chunk):
+    """The TRACEABLE chunked encode (used inside the one-jit train step)
+    equals the full-sequence encode, including under an outer jit."""
+    params = wan_vae.init_wan_vae(jax.random.key(2), cfg)
+    video = jax.random.normal(jax.random.key(3), (1, cin, 9, 16, 16))
+    full = wan_vae.encode_moments(cfg, params, video)
+    inline = jax.jit(
+        lambda v: S.encode_moments_inline(cfg, params, v,
+                                          chunk_pixel_frames=chunk))(video)
+    np.testing.assert_allclose(np.asarray(inline), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
