@@ -97,6 +97,8 @@ class FrameINODataset:
         self.rows: List[List[str]] = []
         self.col: Dict[str, int] = {}
         for name in sorted(os.listdir(csv_folder)):
+            if not name.endswith(".csv"):
+                continue
             with open(os.path.join(csv_folder, name)) as f:
                 for i, row in enumerate(csv.reader(f)):
                     if i == 0:

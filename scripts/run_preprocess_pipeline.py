@@ -64,6 +64,17 @@ def parse_args():
     p.add_argument("--num_points", type=int, default=10)
     p.add_argument("--keep_boxes", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--allow_classical", action="store_true",
+                   help="opt in to the classical fallbacks for the "
+                        "learned curation steps (motion-residual "
+                        "panoptic, two-view camera gate, pyramidal-LK "
+                        "tracking). Without this flag the driver exits "
+                        "when any of --panoptic_checkpoint / "
+                        "--camera_checkpoint / --cotracker_checkpoint "
+                        "is missing — a forgotten flag must not "
+                        "silently yield moving_N pseudo-labels instead "
+                        "of semantics (same loudness standard as "
+                        "captioning's 'template' opt-in)")
     p.add_argument("--caption_backend", default="qwen",
                    choices=["qwen", "qwen_jax", "http", "template"],
                    help="VLM captioner. 'template' is the offline smoke "
@@ -288,6 +299,34 @@ def main():
                              "train_ID_FrameIn")
     rows, dropped = [], {}
     camera_infos = {}
+    # backend manifest: every learned step states what actually ran;
+    # classical fallbacks require the explicit --allow_classical opt-in
+    # (captioning's loudness standard — template already opts in there)
+    backends = {
+        "panoptic": ("oneformer" if args.panoptic_checkpoint
+                     else "classical:motion-residual"),
+        "camera": ("vggt4track" if args.camera_checkpoint
+                   else "classical:two-view-gate"),
+        "tracking": ("cotracker3" if args.cotracker_checkpoint
+                     else "classical:pyramidal-lk"),
+        "id_refine": ("sam2" if args.id_refine == "sam2"
+                      else "classical:mask-crop"),
+        "caption": args.caption_backend,
+    }
+    classical = [f"{step}={b}" for step, b in backends.items()
+                 if b.startswith("classical:")]
+    if classical and not args.allow_classical:
+        raise SystemExit(
+            "classical fallbacks would run for: " + ", ".join(classical)
+            + ". Pass the released checkpoints (--panoptic_checkpoint / "
+            "--camera_checkpoint / --cotracker_checkpoint / --id_refine "
+            "sam2) or opt in explicitly with --allow_classical.")
+    for step, b in backends.items():
+        line = f"backend {step}={b}"
+        if b.startswith("classical:"):
+            line += ("  WARNING: classical fallback, not the reference's "
+                     "learned model (--allow_classical)")
+        print(line)
     vlm = build_captioner(args)
     oneformer = None
     if args.panoptic_checkpoint:
@@ -356,6 +395,13 @@ def main():
               ["video_path", "height", "width", "valid_duration",
                "Panoptic_Segmentation", "Structured_Text_Prompt",
                "Track_Traj", "Obj_Info", "ID_info"], rows)
+    # NOT in csv_folder: the dataset reads every *.csv there
+    summary_path = os.path.join(
+        args.output_folder,
+        os.path.splitext(args.csv_name)[0] + ".summary.json")
+    with open(summary_path, "w") as f:
+        json.dump({"backends": backends, "kept": len(rows),
+                   "total": len(names), "dropped": dropped}, f, indent=1)
     print(f"curated {len(rows)}/{len(names)} videos -> "
           f"{os.path.join(csv_folder, args.csv_name)}")
     if dropped:

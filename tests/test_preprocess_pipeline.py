@@ -44,13 +44,19 @@ def curated(tmp_path_factory):
     _make_fixture_video(str(raw / "clip0.mp4"))
     _make_fixture_video(str(raw / "clip1.mp4"), seed=1)
     out = root / "FrameINO_data"
-    r = subprocess.run(
-        [sys.executable,
-         os.path.join(REPO, "scripts", "run_preprocess_pipeline.py"),
-         "--video_folder", str(raw), "--output_folder", str(out),
-         "--min_frames", "30", "--min_size", "32", "--min_motion", "2.0",
-         "--caption_backend", "template"],
-        capture_output=True, text=True, timeout=600, cwd=REPO)
+    base = [sys.executable,
+            os.path.join(REPO, "scripts", "run_preprocess_pipeline.py"),
+            "--video_folder", str(raw), "--output_folder", str(out),
+            "--min_frames", "30", "--min_size", "32", "--min_motion", "2.0",
+            "--caption_backend", "template"]
+    # without --allow_classical the driver must refuse to run the
+    # classical fallbacks (forgotten-checkpoint loudness gate)
+    r0 = subprocess.run(base, capture_output=True, text=True,
+                        timeout=600, cwd=REPO)
+    assert r0.returncode != 0
+    assert "allow_classical" in (r0.stdout + r0.stderr)
+    r = subprocess.run(base + ["--allow_classical"], capture_output=True,
+                       text=True, timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stdout + r.stderr[-2000:]
     return root, raw, out, r.stdout
 
@@ -62,6 +68,14 @@ def test_pipeline_emits_csv_and_ids(curated):
     assert "keep clip0.mp4" in stdout
     ids = list((out / "video_dataset" / "train_ID_FrameIn").iterdir())
     assert ids, "no ID reference crops written"
+    # the backend manifest is loud: one line per learned step, WARNING
+    # on classical fallbacks, and a machine-readable summary sidecar
+    assert "backend panoptic=classical:motion-residual" in stdout
+    assert "WARNING: classical fallback" in stdout
+    import json as _json
+    summary = _json.loads((out / "curated.summary.json").read_text())
+    assert summary["backends"]["tracking"] == "classical:pyramidal-lk"
+    assert summary["kept"] >= 1
 
 
 def test_curated_csv_feeds_dataset_and_train_step(curated):
