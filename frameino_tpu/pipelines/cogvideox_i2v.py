@@ -72,8 +72,17 @@ def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
     k1, k2, k3 = jax.random.split(key, 3)
 
     def enc(v, k):
-        z = cogvideox_vae.encode(vae_cfg, vae_params, v,
-                                 sample_mode="sample", key=k)
+        if v.shape[2] > vae_cfg.frame_batch_size_encode:
+            # multi-chunk inputs (the trajectory video) run the
+            # streaming walker: peak activation memory = one chunk, not
+            # the whole clip (6.8 GB fp32 first-conv temp at 448x640x49f
+            # — models/cogvideox_vae_streaming.py); numerics identical
+            from frameino_tpu.models import cogvideox_vae_streaming
+            z = cogvideox_vae_streaming.streaming_encode(
+                vae_cfg, vae_params, v, sample_mode="sample", key=k)
+        else:
+            z = cogvideox_vae.encode(vae_cfg, vae_params, v,
+                                     sample_mode="sample", key=k)
         return (z * sf).transpose(0, 2, 1, 3, 4)        # -> [B,F,z,h,w]
 
     img_lat = enc(image[:, :, None], k1)                # [B,1,z,h,w]
@@ -210,11 +219,13 @@ class CogVideoXImageToVideoPipeline:
                  latents: Optional[jax.Array] = None,
                  output_type: str = "np",
                  attn_impl: Optional[str] = None,
-                 decode_mode: str = "full",
+                 decode_mode: str = "streaming",
                  steps_per_program: Optional[int] = None):
-        # decode_mode accepted for driver parity with the Wan pipeline;
-        # the CogVideoX VAE decode is already temporally segmented
-        # (frame_batch_size_decode), so every mode maps to it.
+        # decode_mode: "streaming" (default — the reference's own
+        # chunk/conv-cache protocol as a host loop of 2-latent-frame
+        # programs, peak activation = one chunk) or "full" (one
+        # segmented full-sequence program; identical numerics, OOMs a
+        # 16 GB chip at 448x640x49f). Other Wan modes map to streaming.
         vae_cfg = self.vae_cfg
         key = key if key is not None else jax.random.key(0)
         k_lat, k_cond = jax.random.split(key)
@@ -276,6 +287,11 @@ class CogVideoXImageToVideoPipeline:
         if output_type == "latent":
             return latents
         zlat = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scaling_factor
-        video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
+        if decode_mode == "full":
+            video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
+        else:
+            from frameino_tpu.models import cogvideox_vae_streaming
+            video = cogvideox_vae_streaming.streaming_decode(
+                vae_cfg, self.vae_params, zlat)
         video = jnp.clip(video, -1.0, 1.0)
         return np.asarray(video) if output_type == "np" else video

@@ -245,3 +245,45 @@ class TestShapes:
         # the change is in chunk 1 (frames 9..16). 12 >= 9 ✓.
         np.testing.assert_allclose(np.asarray(z1[:, :, :3]),
                                    np.asarray(z2[:, :, :3]), atol=1e-5)
+
+
+class TestStreamingModule:
+    """The production streaming walkers (models/cogvideox_vae_streaming)
+    must equal the full-sequence segmented form bit-for-bit-ish — they
+    run the same chunk protocol the emulator above re-enacts, as two
+    compiled programs (first chunk / steady-state chunk)."""
+
+    def test_streaming_encode_matches_full(self, params):
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        for T in (17, 1, 5):
+            video = jax.random.normal(jax.random.key(6), (1, 3, T, 16, 16))
+            full = M.encode_moments(CFG, params, video)
+            stream = S.streaming_encode_moments(CFG, params, video)
+            np.testing.assert_allclose(np.asarray(stream),
+                                       np.asarray(full),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_streaming_decode_matches_full(self, params):
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        for T in (5, 1):
+            z = jax.random.normal(jax.random.key(7),
+                                  (1, CFG.latent_channels, T, 4, 4))
+            full = M.decode(CFG, params, z)
+            stream = S.streaming_decode(CFG, params, z)
+            np.testing.assert_allclose(np.asarray(stream),
+                                       np.asarray(full),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_streaming_encode_bf16(self, params):
+        # serving dtype: the walkers must run (and roughly agree) in bf16
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        video = jax.random.normal(jax.random.key(8), (1, 3, 9, 16, 16))
+        bf = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "astype") else a, params)
+        stream = S.streaming_encode_moments(CFG, bf,
+                                            video.astype(jnp.bfloat16))
+        full = M.encode_moments(CFG, params, video)
+        assert stream.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(stream, np.float32),
+                                   np.asarray(full), atol=0.15, rtol=0.15)
