@@ -302,25 +302,36 @@ def _joint_attention(cfg: CogVideoXConfig, p: Params, x, cos_j, sin_j,
         return layer_norm(t, np_["weight"], np_["bias"],
                           eps=cfg.qk_norm_eps).astype(t.dtype)
 
-    # fused-producer flash path (single-chip pallas inference): per-head
-    # LayerNorm + joint-sequence RoPE run inside Pallas producer passes
-    # (ops/attention.fused_ln_qk_flash_attention)
-    use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
-                 and cos_j is not None and p.get("norm_q") is not None
-                 and not attn_ops.needs_sharded_attention(mesh)
-                 and (attn_impl == "pallas"
-                      or (attn_impl is None and attn_ops._on_tpu())))
-    if use_fused:
+    # fused-producer flash path (pallas inference): per-head LayerNorm +
+    # joint-sequence RoPE run inside Pallas producer passes
+    # (ops/attention.fused_ln_qk_flash_attention). On dp/fsdp/tp meshes
+    # the same kernels run inside a shard_map — per-head LN stats are
+    # head-local, so tp needs no collective, just the plumbing.
+    fused_wanted = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
+                    and cos_j is not None and p.get("norm_q") is not None
+                    and (attn_impl == "pallas"
+                         or (attn_impl is None and attn_ops._on_tpu())))
+    if fused_wanted and (
+            not attn_ops.needs_sharded_attention(mesh)
+            or attn_ops.fused_sharded_supported(mesh, B, nh)):
         q_raw = dense(x, p["to_q"])
         k_raw = dense(x, p["to_k"])
         v_h = dense(x, p["to_v"]).reshape(B, S, nh, hd).transpose(
             0, 2, 1, 3)
-        o = attn_ops.fused_ln_qk_flash_attention(
-            q_raw, k_raw, v_h,
-            p["norm_q"]["weight"], p["norm_q"]["bias"],
-            p["norm_k"]["weight"], p["norm_k"]["bias"], cos_j, sin_j,
-            num_heads=nh, head_dim=hd, eps=cfg.qk_norm_eps,
-            interpret=attn_ops.FORCE_INTERPRET)
+        if attn_ops.needs_sharded_attention(mesh):
+            o = attn_ops.fused_ln_qk_flash_attention_sharded(
+                q_raw, k_raw, v_h,
+                p["norm_q"]["weight"], p["norm_q"]["bias"],
+                p["norm_k"]["weight"], p["norm_k"]["bias"], cos_j, sin_j,
+                mesh, num_heads=nh, head_dim=hd, eps=cfg.qk_norm_eps,
+                interpret=attn_ops.FORCE_INTERPRET)
+        else:
+            o = attn_ops.fused_ln_qk_flash_attention(
+                q_raw, k_raw, v_h,
+                p["norm_q"]["weight"], p["norm_q"]["bias"],
+                p["norm_k"]["weight"], p["norm_k"]["bias"], cos_j, sin_j,
+                num_heads=nh, head_dim=hd, eps=cfg.qk_norm_eps,
+                interpret=attn_ops.FORCE_INTERPRET)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
         return dense(o, p["to_out"])
 

@@ -233,25 +233,35 @@ def _self_attention(p, x, cos, sin, cfg, attn_impl, differentiable,
     q = dense(x, p["to_q"])
     k = dense(x, p["to_k"])
     v = dense(x, p["to_v"])
-    # fused-producer flash path (single-chip pallas inference): the qk
-    # RMS-norm + interleaved RoPE run inside the kernel's tile loads,
-    # skipping their [B, S, H*D] HBM round-trips (ops/attention)
-    # single-device only: the fused producers are bare pallas_calls
-    # (GSPMD cannot partition them) and the full-row RMS statistic
-    # needs every head — sharded meshes take the dispatch_attention
-    # path (shard_map or XLA) below
-    use_fused = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
-                 and not attn_ops.needs_sharded_attention(mesh)
-                 and (attn_impl == "pallas"
-                      or (attn_impl is None and attn_ops._on_tpu())))
-    if use_fused:
-        o = attn_ops.fused_qk_flash_attention(
-            q, k, v.reshape(*v.shape[:2], cfg.num_attention_heads,
-                            -1).transpose(0, 2, 1, 3),
-            p["norm_q"]["weight"], p["norm_k"]["weight"], cos, sin,
-            num_heads=cfg.num_attention_heads, eps=eps,
-            interpret=attn_ops.FORCE_INTERPRET)
-        return dense(_merge_heads(o), p["to_out"])
+    # fused-producer flash path (pallas inference): the qk RMS-norm +
+    # interleaved RoPE run inside the kernel's tile loads, skipping
+    # their [B, S, H*D] HBM round-trips (ops/attention). On dp/fsdp/tp
+    # meshes the same kernels run inside a shard_map (bare pallas_calls
+    # GSPMD cannot partition): dp/fsdp keep heads local, tp psums the
+    # across-heads RMS statistic (fused_qk_flash_attention_sharded).
+    # sp>1 meshes take the dispatch_attention path below (the producers
+    # need the full sequence's rope rows).
+    fused_wanted = (attn_ops.FUSED_QK_PRODUCERS and not differentiable
+                    and (attn_impl == "pallas"
+                         or (attn_impl is None and attn_ops._on_tpu())))
+    if fused_wanted:
+        vh = v.reshape(*v.shape[:2], cfg.num_attention_heads,
+                       -1).transpose(0, 2, 1, 3)
+        if not attn_ops.needs_sharded_attention(mesh):
+            o = attn_ops.fused_qk_flash_attention(
+                q, k, vh,
+                p["norm_q"]["weight"], p["norm_k"]["weight"], cos, sin,
+                num_heads=cfg.num_attention_heads, eps=eps,
+                interpret=attn_ops.FORCE_INTERPRET)
+            return dense(_merge_heads(o), p["to_out"])
+        if attn_ops.fused_sharded_supported(mesh, q.shape[0],
+                                            cfg.num_attention_heads):
+            o = attn_ops.fused_qk_flash_attention_sharded(
+                q, k, vh,
+                p["norm_q"]["weight"], p["norm_k"]["weight"], cos, sin,
+                mesh, num_heads=cfg.num_attention_heads, eps=eps,
+                interpret=attn_ops.FORCE_INTERPRET)
+            return dense(_merge_heads(o), p["to_out"])
     q = _qk_norm_across_heads(q, p["norm_q"], eps)
     k = _qk_norm_across_heads(k, p["norm_k"], eps)
     q = _split_heads(q, cfg.num_attention_heads)
