@@ -58,8 +58,12 @@ _DIT_RULES = [
     # time-embedding MLP + 6-way projection: activations are [B, dim]
     # scalars-per-example; sharding these kernels makes GSPMD reshard
     # tiny tensors every step ("involuntary full rematerialization"
-    # warnings) — replicate them instead
-    (r".*time_embedder\.linear_\d\.kernel$", (None,)),
+    # warnings) — replicate them instead. Covers BOTH namings: Wan's
+    # 'time_embedder' and CogVideoX's 'time_embedding' (the Cog one
+    # previously fell through to the generic linear_\d rule, got
+    # fsdp-sharded, and its [1, D] bias cotangent tripped the
+    # involuntary-remat warning the collective audit fails on)
+    (r".*(time_embedd(er|ing)|ofs_embedding)\.linear_\d\.kernel$", (None,)),
     (r".*time_proj\.kernel$", (None,)),
     (r".*linear_\d\.kernel$", (None, "fsdp")),
 ]
@@ -164,3 +168,21 @@ def constrain(x, mesh: Optional[Mesh], kind: str):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, activation_spec(kind)))
+
+
+def constrain_like_params(tree, mesh: Optional[Mesh]):
+    """Pin a param-structured pytree (gradients) to the parameter
+    sharding rules. Without this, GSPMD must back-propagate the param
+    specs through the whole backward graph; on small broadcast-shaped
+    grads (a [1, D] bias cotangent summed over batch uses) it gives up
+    with '[SPMD] Involuntary full rematerialization' — harmless at
+    bias size, a silent perf cliff if it ever lands on an
+    activation-sized tensor. The collective audit fails hard on that
+    warning (collective_audit.assert_no_involuntary_remat), and this
+    constraint is what keeps the train steps clean."""
+    if mesh is None:
+        return tree
+    specs = dit_param_specs(tree, mesh)
+    return jax.tree.map(
+        lambda g, s: jax.lax.with_sharding_constraint(
+            g, NamedSharding(mesh, s)), tree, specs)

@@ -166,6 +166,9 @@ def make_cog_train_step(dit_cfg: cogvideox_dit.CogVideoXConfig,
                                   mesh=mesh)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if mesh is not None:
+            from frameino_tpu.parallel.sharding import constrain_like_params
+            grads = constrain_like_params(grads, mesh)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

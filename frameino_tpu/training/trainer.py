@@ -215,6 +215,9 @@ def make_train_step(dit_cfg: wan_dit.WanDiTConfig,
                                dp_size=dp_size, mesh=mesh)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if mesh is not None:
+            from frameino_tpu.parallel.sharding import constrain_like_params
+            grads = constrain_like_params(grads, mesh)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss,

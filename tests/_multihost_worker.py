@@ -86,3 +86,33 @@ with mesh:
 
 assert np.isfinite(loss), loss
 print(f"proc {pid}: MULTIHOST_LOSS={loss:.6f}", flush=True)
+
+# ---------------------------------------------------------------------------
+# pp-across-DCN leg: pp's stated purpose is multi-slice stage placement
+# (parallel/pipeline.py) — stages map to PROCESSES (make_mesh places pp
+# outermost; device order is process-major), so only the GPipe
+# microbatch activations cross the inter-process link while fsdp/tp
+# collectives stay intra-process.
+mcfg_pp = MeshConfig(dp=1, fsdp=local // 2, tp=2, sp=1, pp=nproc)
+mesh_pp = make_mesh(mcfg_pp)
+stage_procs = {d.process_index for d in mesh_pp.devices[0, 0, 0, 0, :]}
+assert len(stage_procs) == nproc, (
+    "pp axis must span the processes (one stage per host)",
+    mesh_pp.devices)
+
+dit_params = wan_dit.init_wan_dit(jax.random.key(0), dit_cfg)
+vae_params = wan_vae.init_wan_vae(jax.random.key(1), vae_cfg)
+# dp=1 on this mesh: the batch axis is sharded only over the
+# INTRA-process fsdp axis, so every process must supply the full batch
+full_f32 = {k: v.astype(np.float32) for k, v in full.items()}
+with mesh_pp:
+    batch_pp = multihost.global_batch(mesh_pp, full_f32, B_global)
+    state = make_sharded_train_state(dit_params, opt, mesh_pp)
+    step = make_train_step(dit_cfg, vae_cfg, tcfg, opt, mesh=mesh_pp,
+                           dp_size=1)
+    state, metrics = step(state, vae_params, batch_pp, jax.random.key(3))
+    loss_pp = float(metrics["loss"])
+    multihost.assert_same_across_processes(mesh_pp, loss_pp)
+
+assert np.isfinite(loss_pp), loss_pp
+print(f"proc {pid}: MULTIHOST_PP_LOSS={loss_pp:.6f}", flush=True)

