@@ -69,13 +69,20 @@ class PipelineServer:
 
     def __init__(self, pipeline, text_encoder_fn=None,
                  default_steps: int = 50, default_guidance: float = 5.0,
-                 fps: int = 16):
+                 fps: int = 16, bucket_grid: int = 64,
+                 frame_grid: Optional[int] = None):
         self.pipeline = pipeline
         self.text_encoder_fn = text_encoder_fn or getattr(
             pipeline, "text_encoder_fn", None)
         self.default_steps = default_steps
         self.default_guidance = default_guidance
         self.fps = fps
+        # shape bucketing (core/shape_buckets): requests land on a
+        # grid x grid x frame lattice of precompiled programs; odd dims
+        # pay padded pixels, not a 13-17 s XLA compile. bucket_grid=0
+        # disables (every new shape compiles).
+        self.bucket_grid = bucket_grid
+        self.frame_grid = frame_grid
         self.lock = threading.Lock()
         self.generations = 0
 
@@ -91,6 +98,19 @@ class PipelineServer:
         W = int(req.get("width", image.shape[1]))
         F = int(req.get("num_frames", 81))
 
+        # bucket the serving shape (round up, pad, crop back below)
+        from frameino_tpu.core import shape_buckets as SB
+        temporal = getattr(self.pipeline.vae_cfg, "scale_factor_temporal",
+                           None) or getattr(self.pipeline.vae_cfg,
+                                            "temporal_compression_ratio", 4)
+        if self.bucket_grid:
+            Hb, Wb = SB.bucket_hw(H, W, grid=self.bucket_grid)
+            Fb = SB.bucket_frames(F, temporal=temporal,
+                                  frame_grid=self.frame_grid)
+        else:
+            Hb, Wb = SB.bucket_hw(H, W, grid=32)    # hard x32 canvas rule
+            Fb = SB.bucket_frames(F, temporal=temporal)
+
         if "prompt_embeds_b64" in req:
             emb = np.load(io.BytesIO(
                 base64.b64decode(req["prompt_embeds_b64"])))
@@ -104,20 +124,25 @@ class PipelineServer:
 
         traj = None
         if req.get("trajectories"):
+            # rasterize at the REQUESTED dims (user coordinates), then
+            # zero-pad to the bucket — padded frames/pixels carry no
+            # trajectory dots and are cropped from the output
             traj_np, _ = tracks_to_traj_tensor(req["trajectories"], F, H, W)
+            traj_np = np.pad(traj_np, ((0, 0), (0, 0), (0, Fb - F),
+                                       (0, Hb - H), (0, Wb - W)))
             traj = jnp.asarray(traj_np)
 
         id_t = None
         if req.get("id_image_b64"):
             id_img = _decode_image(req["id_image_b64"])
             from frameino_tpu.app.core import prepare_id_reference
-            id_np = prepare_id_reference(id_img, None, H, W)
+            id_np = prepare_id_reference(id_img, None, Hb, Wb)
             id_t = jnp.asarray(
                 id_np.astype(np.float32) / 255.0 * 2 - 1
             ).transpose(2, 0, 1)[None, :, None]
 
         import cv2
-        img = cv2.resize(image, (W, H))
+        img = SB.pad_hwc(cv2.resize(image, (W, H)), Hb, Wb)
         image_t = jnp.asarray(
             img.astype(np.float32) / 255.0 * 2 - 1).transpose(2, 0, 1)[None]
 
@@ -125,7 +150,7 @@ class PipelineServer:
             video = self.pipeline(
                 image_t, prompt_embeds=prompt_embeds,
                 traj_tensor=traj, id_tensor=id_t,
-                height=H, width=W, num_frames=F,
+                height=Hb, width=Wb, num_frames=Fb,
                 num_inference_steps=int(req.get("num_inference_steps",
                                                 self.default_steps)),
                 guidance_scale=float(req.get("guidance_scale",
@@ -137,10 +162,12 @@ class PipelineServer:
 
         frames = ((np.asarray(video)[0].transpose(1, 2, 3, 0) + 1) / 2
                   * 255).clip(0, 255).astype(np.uint8)
+        frames = SB.crop_video(frames, F, H, W)
         return {"video_b64": _encode_video_mp4(frames, self.fps),
                 "num_frames": int(frames.shape[0]),
                 "height": int(frames.shape[1]),
-                "width": int(frames.shape[2])}
+                "width": int(frames.shape[2]),
+                "bucket": [Fb, Hb, Wb]}
 
     def health(self) -> dict:
         import jax

@@ -27,6 +27,21 @@ def parse_args():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8188)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--bucket_grid", type=int, default=64,
+                   help="round request H/W up to this grid (multiple of "
+                        "32) so requests land on precompiled shapes; 0 "
+                        "disables bucketing (every new shape pays a "
+                        "13-17 s XLA compile)")
+    p.add_argument("--frame_grid", type=int, default=None,
+                   help="optional frame-count lattice coarsening "
+                        "(multiple of the VAE temporal ratio)")
+    p.add_argument("--compilation_cache_dir", default="auto",
+                   help="persistent XLA compilation cache dir; 'auto' = "
+                        "~/.cache/frameino_tpu/xla_cache, 'off' disables")
+    p.add_argument("--warmup", default=None,
+                   help="comma-separated HxWxF[:steps] shapes to "
+                        "precompile before binding the port, e.g. "
+                        "'480x832x81,448x640x49:50'")
     return p.parse_args()
 
 
@@ -76,8 +91,57 @@ def build_pipeline(args):
         quantize=args.quantize)
 
 
+def warmup_shapes(server, shapes: str, default_steps: int):
+    """Precompile the denoise/decode programs for each HxWxF[:steps]
+    shape by pushing a synthetic request through handle_generate —
+    exactly the request path, so the persistent cache captures every
+    program a real request needs."""
+    import base64
+    import io
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    for spec in shapes.split(","):
+        spec = spec.strip()
+        steps = default_steps
+        if ":" in spec:
+            spec, s = spec.split(":")
+            steps = int(s)
+        h, w, f = (int(v) for v in spec.split("x"))
+        img = Image.fromarray(np.zeros((h, w, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = {"image_b64": base64.b64encode(buf.getvalue()).decode(),
+               "height": h, "width": w, "num_frames": f,
+               "num_inference_steps": steps,
+               "prompt_embeds_b64": None}
+        if server.text_encoder_fn is None:
+            # no encoder configured: zero embeds at the pipeline's dim
+            emb = np.zeros((8, server.pipeline.dit_cfg.text_dim
+                            if hasattr(server.pipeline.dit_cfg, "text_dim")
+                            else server.pipeline.dit_cfg.text_embed_dim),
+                           np.float32)
+            ebuf = io.BytesIO()
+            np.save(ebuf, emb)
+            req["prompt_embeds_b64"] = base64.b64encode(
+                ebuf.getvalue()).decode()
+        else:
+            del req["prompt_embeds_b64"]
+        t0 = time.time()
+        server.handle_generate(req)
+        print(f"warmup {h}x{w}x{f} steps={steps}: {time.time() - t0:.1f}s")
+
+
 def main():
     args = parse_args()
+    if args.compilation_cache_dir != "off":
+        from frameino_tpu.core import compilation_cache
+        cache_dir = compilation_cache.enable(
+            None if args.compilation_cache_dir == "auto"
+            else args.compilation_cache_dir)
+        print(f"persistent compilation cache: {cache_dir}")
     from frameino_tpu.app.server import PipelineServer
     pipe = build_pipeline(args)
 
@@ -98,7 +162,12 @@ def main():
                 jnp.asarray(tok["attention_mask"]),
                 max_sequence_length=_max)
 
-    server = PipelineServer(pipe, text_encoder_fn=text_fn)
+    server = PipelineServer(pipe, text_encoder_fn=text_fn,
+                            bucket_grid=args.bucket_grid,
+                            frame_grid=args.frame_grid)
+    if args.warmup:
+        warmup_shapes(server, args.warmup,
+                      default_steps=server.default_steps)
     server.serve(args.host, args.port)
 
 

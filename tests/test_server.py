@@ -73,6 +73,9 @@ def test_generate_roundtrip(server):
     })
     assert out["num_frames"] == 9
     assert out["height"] == 32 and out["width"] == 64
+    # bucketing: 32x64 rounds up to the 64-grid bucket; the response is
+    # cropped back to the requested dims and reports the bucket it ran on
+    assert out["bucket"] == [9, 64, 64]
     video = base64.b64decode(out["video_b64"])
     assert len(video) > 100                  # a real mp4 came back
 
