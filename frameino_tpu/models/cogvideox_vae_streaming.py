@@ -59,12 +59,13 @@ def _cconv(x, p, cache: List, idx: List[int], kt: int):
         xx = x
     kh = p["kernel"].shape[1]
     ph = kh // 2
+    acc = cops.default_accum_dtype()   # honors conv_accum_dtype scope
     y = jax.lax.conv_general_dilated(
         xx, p["kernel"].astype(xx.dtype), window_strides=(1, 1, 1),
         padding=((0, 0), (ph, ph), (ph, ph)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    y = y + p["bias"].astype(jnp.float32)
+        preferred_element_type=acc)
+    y = y + p["bias"].astype(acc)
     return y.astype(x.dtype)
 
 

@@ -70,19 +70,33 @@ def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
     None) — frame-first, scaled by scaling_factor."""
     sf = vae_cfg.scaling_factor
     k1, k2, k3 = jax.random.split(key, 3)
+    # Encode in the VAE's own param dtype AND accumulate convs there:
+    # with bf16 serving params, fp32 conv outputs ([1,128,chunk,448,640]
+    # temps at the reference eval shape) on top of the resident bf16 5B
+    # DiT tip a 16 GB chip over. The reference serves its whole VAE in
+    # fp16 (run_cogvideox_FrameIn_mass_evaluation.py:101-108) — bf16
+    # encode compute IS the torch-parity serving semantics. fp32 params
+    # keep fp32 encodes bit-exactly as before.
+    pdt = next(l.dtype for l in jax.tree.leaves(vae_params)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
 
     def enc(v, k):
-        if v.shape[2] > vae_cfg.frame_batch_size_encode:
-            # multi-chunk inputs (the trajectory video) run the
-            # streaming walker: peak activation memory = one chunk, not
-            # the whole clip (6.8 GB fp32 first-conv temp at 448x640x49f
-            # — models/cogvideox_vae_streaming.py); numerics identical
-            from frameino_tpu.models import cogvideox_vae_streaming
-            z = cogvideox_vae_streaming.streaming_encode(
-                vae_cfg, vae_params, v, sample_mode="sample", key=k)
-        else:
-            z = cogvideox_vae.encode(vae_cfg, vae_params, v,
-                                     sample_mode="sample", key=k)
+        from frameino_tpu.ops.conv import conv_accum_dtype
+        v = v.astype(pdt)
+        with conv_accum_dtype(pdt):
+            if v.shape[2] > vae_cfg.frame_batch_size_encode:
+                # multi-chunk inputs (the trajectory video) run the
+                # streaming walker: peak activation memory = one chunk,
+                # not the whole clip (6.8 GB fp32 first-conv temp at
+                # 448x640x49f — models/cogvideox_vae_streaming.py);
+                # numerics identical
+                from frameino_tpu.models import cogvideox_vae_streaming
+                z = cogvideox_vae_streaming.streaming_encode(
+                    vae_cfg, vae_params, v, sample_mode="sample", key=k)
+            else:
+                z = cogvideox_vae.encode(vae_cfg, vae_params, v,
+                                         sample_mode="sample", key=k)
         return (z * sf).transpose(0, 2, 1, 3, 4)        # -> [B,F,z,h,w]
 
     img_lat = enc(image[:, :, None], k1)                # [B,1,z,h,w]
@@ -203,6 +217,76 @@ class CogVideoXImageToVideoPipeline:
         self.vae_params = vae_params
         self.pipe_cfg = pipe_cfg
         self.text_encoder_fn = text_encoder_fn
+        self._dit_host = None     # host master copy (offload_dit)
+
+    def _move(self, attr: str, target, group: int = 16) -> Params:
+        """device_put the named param tree to target, a GROUP of leaves
+        at a time with a forced sync between groups — an 11 GB tree in
+        one batched_device_put burst can overwhelm the tunneled-worker
+        transport (observed worker crash). Drops the old references so
+        the source buffers actually free group by group, bounding peak
+        double-residency at one group."""
+        flat, treedef = jax.tree.flatten(getattr(self, attr))
+        setattr(self, attr, None)           # release the old tree refs
+        out = []
+        for i in range(0, len(flat), group):
+            chunk = [jax.device_put(leaf, target)
+                     for leaf in flat[i:i + group]]
+            for j in range(i, i + len(chunk)):
+                flat[j] = None              # free the source buffer
+            # force completion (tunnel: block_until_ready is a no-op,
+            # a one-scalar fetch is the only real sync)
+            float(chunk[-1].ravel()[0])
+            out.extend(chunk)
+        tree = jax.tree.unflatten(treedef, out)
+        setattr(self, attr, tree)
+        return tree
+
+    def offload_vae(self) -> Params:
+        """Move the VAE params to host RAM (frees ~0.4 GB HBM for the
+        denoise working set); reassigns and returns self.vae_params."""
+        return self._move("vae_params", jax.devices("cpu")[0])
+
+    def restore_vae(self) -> Params:
+        """Bring offloaded VAE params back to the accelerator."""
+        return self._move("vae_params", jax.devices()[0])
+
+    def offload_dit(self) -> None:
+        """Free the DiT's HBM during the VAE condition encodes — the
+        heavyweight half of the reference's enable_model_cpu_offload
+        recipe (run_cogvideox_FrameIn_mass_evaluation.py:104). The bf16
+        5B tree + the VAE encoder's conv caches + chunk temps do not
+        coexist in 16 GB at the protocol shape even with bf16 conv
+        accumulation.
+
+        Host-MASTER design: the first offload snapshots the tree to
+        host numpy once; every later offload just DROPS the device tree
+        (no transfer) and restore_dit re-uploads from the master. Per
+        clip that is one 11.2 GB host->device upload — the price of
+        bf16 single-chip serving (int8 fits resident and avoids it)."""
+        if self._dit_host is None:
+            flat, treedef = jax.tree.flatten(self.dit_params)
+            self.dit_params = None
+            host = []
+            for leaf in flat:
+                host.append(jax.device_get(leaf))
+            self._dit_host = jax.tree.unflatten(treedef, host)
+        else:
+            self.dit_params = None
+
+    def restore_dit(self, group: int = 16) -> Params:
+        if self.dit_params is not None:
+            return self.dit_params
+        dev = jax.devices()[0]
+        flat, treedef = jax.tree.flatten(self._dit_host)
+        out = []
+        for i in range(0, len(flat), group):
+            chunk = [jax.device_put(leaf, dev)
+                     for leaf in flat[i:i + group]]
+            float(chunk[-1].ravel()[0])    # tunnel-safe sync per group
+            out.extend(chunk)
+        self.dit_params = jax.tree.unflatten(treedef, out)
+        return self.dit_params
 
     def __call__(self,
                  image: jax.Array,
@@ -220,12 +304,22 @@ class CogVideoXImageToVideoPipeline:
                  output_type: str = "np",
                  attn_impl: Optional[str] = None,
                  decode_mode: str = "streaming",
-                 steps_per_program: Optional[int] = None):
+                 steps_per_program: Optional[int] = None,
+                 vae_offload: bool = False):
         # decode_mode: "streaming" (default — the reference's own
         # chunk/conv-cache protocol as a host loop of 2-latent-frame
         # programs, peak activation = one chunk) or "full" (one
         # segmented full-sequence program; identical numerics, OOMs a
         # 16 GB chip at 448x640x49f). Other Wan modes map to streaming.
+        #
+        # vae_offload: park the VAE params in host RAM between the
+        # condition encodes and the final decode — the TPU-native
+        # counterpart of the reference's enable_model_cpu_offload
+        # (run_cogvideox_FrameIn_mass_evaluation.py:104). The bf16 5B
+        # DiT + 49f@448x640 denoise working set leaves <0.5 GB HBM
+        # headroom on a 16 GB chip; the resident VAE tips it over.
+        # Callers must not hold other references to self.vae_params or
+        # the HBM copy cannot free.
         vae_cfg = self.vae_cfg
         key = key if key is not None else jax.random.key(0)
         k_lat, k_cond = jax.random.split(key)
@@ -249,9 +343,19 @@ class CogVideoXImageToVideoPipeline:
                 id_tensor = id_tensor[None]
             elif id_tensor.ndim == 5:
                 id_tensor = id_tensor[:, :, 0]
+        if vae_offload:
+            # the reference's enable_model_cpu_offload choreography
+            # (run_cogvideox_FrameIn_mass_evaluation.py:104): DiT parks
+            # on host while the VAE encoder runs (its conv-cache state +
+            # chunk temps do not fit beside the bf16 5B tree at the
+            # 448x640x49f protocol shape), then they swap for denoise
+            self.offload_dit()
         image_latents, traj_latents, id_latent = prepare_conditions(
             vae_cfg, self.vae_params, image, traj_tensor, id_tensor, F,
             k_cond)
+        if vae_offload:
+            self.offload_vae()
+            self.restore_dit()
 
         has_id = id_latent is not None
         cos, sin = cogvideox_dit.cogvideox_rope(
@@ -286,12 +390,24 @@ class CogVideoXImageToVideoPipeline:
 
         if output_type == "latent":
             return latents
-        zlat = latents.transpose(0, 2, 1, 3, 4) / vae_cfg.scaling_factor
-        if decode_mode == "full":
-            video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
-        else:
-            from frameino_tpu.models import cogvideox_vae_streaming
-            video = cogvideox_vae_streaming.streaming_decode(
-                vae_cfg, self.vae_params, zlat)
-        video = jnp.clip(video, -1.0, 1.0)
+        if vae_offload:
+            self.restore_vae()
+        from frameino_tpu.ops.conv import conv_accum_dtype
+        pdt = next(l.dtype for l in jax.tree.leaves(self.vae_params)
+                   if hasattr(l, "dtype")
+                   and jnp.issubdtype(l.dtype, jnp.floating))
+        zlat = (latents.transpose(0, 2, 1, 3, 4)
+                / vae_cfg.scaling_factor).astype(pdt)
+        # decode in the VAE's own dtype (fp32 params: bit-identical to
+        # before; bf16 serving params: the reference's own fp16-VAE
+        # serving semantics, and the full-res fp32 conv temps would not
+        # fit beside the resident DiT anyway)
+        with conv_accum_dtype(pdt):
+            if decode_mode == "full":
+                video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
+            else:
+                from frameino_tpu.models import cogvideox_vae_streaming
+                video = cogvideox_vae_streaming.streaming_decode(
+                    vae_cfg, self.vae_params, zlat)
+        video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         return np.asarray(video) if output_type == "np" else video

@@ -27,8 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from frameino_tpu.core import compilation_cache
 from frameino_tpu.models import cogvideox_dit, cogvideox_vae
 from frameino_tpu.pipelines import cogvideox_i2v as P
+
+compilation_cache.enable()   # the VAE first-chunk program alone costs
+                             # ~8 min of XLA compile; cache it
 
 H, W, F = 448, 640, 49
 
@@ -45,17 +49,32 @@ def main():
                     help="denoise steps per compiled program")
     args = ap.parse_args()
 
+    import numpy as np
+
     dit_cfg = cogvideox_dit.COGVIDEOX_5B_I2V_FRAMEINO
     vae_cfg = cogvideox_vae.COGVIDEOX_VAE_CONFIG
-    dit_params = zeros_like_tree(jax.eval_shape(
+    dit_shapes = jax.eval_shape(
         lambda k: cogvideox_dit.init_cogvideox_dit(k, dit_cfg),
-        jax.random.key(0)))
+        jax.random.key(0))
+    if args.int8:
+        dit_params = zeros_like_tree(dit_shapes)
+    else:
+        # bf16 runs the cpu-offload choreography: build the DiT on the
+        # HOST so the pipeline's host-master offload never has to fetch
+        # 11 GB back over the (fragile) tunnel — per clip it only pays
+        # the one host->device upload a production offload server pays
+        dit_params = jax.tree.map(
+            lambda s: np.zeros(s.shape, jnp.bfloat16), dit_shapes)
     vae_params = zeros_like_tree(jax.eval_shape(
         lambda k: cogvideox_vae.init_cogvideox_vae(k, vae_cfg),
         jax.random.key(1)))
     pipe = P.CogVideoXImageToVideoPipeline(
         dit_cfg, dit_params, vae_cfg, vae_params,
         quantize="int8" if args.int8 else None)
+    # the pipeline host-offloads the VAE during the bf16 denoise
+    # (vae_offload below, mirroring the reference's cpu_offload at
+    # :104) — drop our references so the HBM copy can actually free
+    del dit_params, vae_params
 
     image = jnp.zeros((1, 3, H, W), jnp.float32)
     traj = jnp.zeros((1, 3, F, H, W), jnp.float32)
@@ -68,7 +87,8 @@ def main():
                    id_tensor=idf, height=H, width=W, num_frames=F,
                    num_inference_steps=args.steps, guidance_scale=6.0,
                    key=jax.random.key(0), output_type="latent",
-                   attn_impl="pallas", steps_per_program=args.spp)
+                   attn_impl="pallas", steps_per_program=args.spp,
+                   vae_offload=not args.int8)
         jnp.asarray(lat)[0, 0, 0, 0, 0].item()   # force (tunnel: no
         return lat                               # block_until_ready)
 
@@ -79,11 +99,17 @@ def main():
     lat = run_latent()
     denoise_s = time.time() - t0
 
+    if not args.int8:
+        pipe.restore_vae()
     zlat = (lat.transpose(0, 2, 1, 3, 4)
             / vae_cfg.scaling_factor).astype(jnp.bfloat16)
 
     def run_decode():
-        video = cogvideox_vae.decode(vae_cfg, vae_params, zlat)
+        from frameino_tpu.models import cogvideox_vae_streaming
+        from frameino_tpu.ops.conv import conv_accum_dtype
+        with conv_accum_dtype(jnp.bfloat16):
+            video = cogvideox_vae_streaming.streaming_decode(
+                vae_cfg, pipe.vae_params, zlat)
         float(video[0, 0, 0, 0, 0])
         return video
 

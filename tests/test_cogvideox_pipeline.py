@@ -112,3 +112,26 @@ class TestChunkedPrograms:
         chunked = pipe(image, key=jax.random.key(3),
                        steps_per_program=2, **kw)
         np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
+
+
+class TestCpuOffload:
+    def test_vae_offload_matches_resident(self, pipe):
+        """The cpu-offload choreography (DiT parked on host during VAE
+        encodes, VAE parked during denoise — the reference's
+        enable_model_cpu_offload parity) must not change a single bit
+        of the output, and the param trees must be back on-device
+        afterwards."""
+        pipe.pipe_cfg = P.CogPipelineConfig(scheduler_type="ddim")
+        image, traj, idf, text = _conditions(key=11)
+        kwargs = dict(prompt_embeds=text, traj_tensor=traj, id_tensor=idf,
+                      height=16, width=16, num_frames=9,
+                      num_inference_steps=2, guidance_scale=6.0,
+                      attn_impl="xla")
+        ref = pipe(image, key=jax.random.key(3), **kwargs)
+        out = pipe(image, key=jax.random.key(3), vae_offload=True,
+                   **kwargs)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # restore_vae ran before decode; dit restored after encodes
+        dev = jax.devices()[0]
+        assert jax.tree.leaves(pipe.vae_params)[0].devices() == {dev}
+        assert jax.tree.leaves(pipe.dit_params)[0].devices() == {dev}
