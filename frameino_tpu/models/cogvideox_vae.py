@@ -125,13 +125,14 @@ def replicate_causal_conv3d(x: jax.Array, kernel: jax.Array,
         x = jnp.concatenate([front, x], axis=1)
     kh = kernel.shape[1]
     ph = kh // 2
-    y = jax.lax.conv_general_dilated(
+    acc = cops.default_accum_dtype()   # fp32 unless a serving/trainer
+    y = jax.lax.conv_general_dilated(  # accum_dtype_scope is active
         x, kernel.astype(x.dtype), window_strides=(1, 1, 1),
         padding=((0, 0), (ph, ph), (ph, ph)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=acc)
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(acc)
     return y.astype(x.dtype)
 
 

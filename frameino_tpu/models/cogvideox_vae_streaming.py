@@ -100,8 +100,13 @@ def _spatial_norm(p, f, zq, groups, eps):
                                   p["conv_y"]["bias"], kt=1)
     b = M.replicate_causal_conv3d(zq, p["conv_b"]["kernel"],
                                   p["conv_b"]["bias"], kt=1)
-    return (nf.astype(jnp.float32) * y.astype(jnp.float32)
-            + b.astype(jnp.float32)).astype(f.dtype)
+    # multiply-add in the scope's accum dtype: explicit fp32 casts here
+    # materialized two ~4.4 GB fp32 copies of a near-full-res decoder
+    # tensor per chunk (measured OOM at 448x640); fp32 default keeps
+    # the old numerics bit-exactly, bf16 serving stays bf16
+    acc = cops.default_accum_dtype()
+    return (nf.astype(acc) * y.astype(acc)
+            + b.astype(acc)).astype(f.dtype)
 
 
 def _norm(p, x, zq, groups, eps):
@@ -143,9 +148,12 @@ def _upsample_chunk(p, x, compress_time: bool):
         else:
             x = jnp.repeat(x, 2, axis=1)
     x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-    B, T, H, W, C = x.shape
-    x2 = cops.conv2d(x.reshape(B * T, H, W, C), **p, padding="SAME")
-    return x2.reshape(B, T, H, W, x2.shape[-1])
+    # per-frame 2D conv expressed as a kt=1 NDHWC conv3d: identical
+    # math, but the [B*T, H, W, C] reshape form makes XLA tile the
+    # T-sized batch dim (9 pads to 16 at the 448x640 decode chunk —
+    # a 1.8x HBM expansion on a GB-scale tensor, measured)
+    return M.replicate_causal_conv3d(x, p["kernel"][None], p["bias"],
+                                     kt=1)
 
 
 # ---------------------------------------------------------------------------
@@ -239,21 +247,30 @@ def streaming_decode(cfg: M.CogVideoXVAEConfig, params: Params,
                      z: jax.Array) -> jax.Array:
     """z [B, z, T', H', W'] -> video [B, 3, T, H, W].
     == ``cogvideox_vae.decode`` (per-chunk peak memory, no clamp —
-    the pipeline clips, matching the full-sequence call site)."""
+    the pipeline clips, matching the full-sequence call site).
+
+    Chunk outputs are fetched to HOST as they finish and assembled in
+    numpy: this is the pipeline's pixel boundary anyway, each fetch
+    frees the chunk's device buffer before the next chunk runs, and the
+    final full-clip concatenate does not compete with the decoder
+    program's HBM arena (measured: the device-side concat OOM'd at
+    448x640x49f with everything else already freed)."""
+    import numpy as np
+
     x = M._to_cl(z)
     outs = []
     caches: Optional[Tuple] = None
     for (s, e) in _chunk_bounds(x.shape[1], cfg.frame_batch_size_decode):
         out, caches = _dec_step(cfg, params, x[:, s:e], caches,
                                 first=caches is None)
-        outs.append(out)
-    return M._to_cf(jnp.concatenate(outs, axis=1))
+        outs.append(np.asarray(out))
+    return jnp.asarray(M._to_cf(np.concatenate(outs, axis=1)))
 
 
 def streaming_encode(cfg: M.CogVideoXVAEConfig, params: Params,
                      video: jax.Array, sample_mode: str = "sample",
                      key: Optional[jax.Array] = None) -> jax.Array:
-    moments = streaming_encode_moments(cfg, params, video)
+    moments = tiled_streaming_encode_moments(cfg, params, video)
     mean, logvar = jnp.split(moments, 2, axis=1)
     if sample_mode == "argmax":
         return mean
@@ -261,3 +278,104 @@ def streaming_encode(cfg: M.CogVideoXVAEConfig, params: Params,
     std = jnp.exp(0.5 * logvar)
     key = key if key is not None else jax.random.key(0)
     return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Spatial tiling x streaming (the published protocol: the reference eval
+# calls vae.enable_slicing() + vae.enable_tiling(),
+# run_cogvideox_FrameIn_mass_evaluation.py:95-96, so large canvases run
+# overlapping 2D tiles, each with the frame-chunk conv-cache walk, and
+# linear seam blending). Geometry reuses the repo's Wan tiling
+# (tile 256 / stride 192 sample px, same-shape tiles via _positions —
+# every distinct tile shape is a separate multi-minute TPU compile);
+# diffusers' CogVideoX tiling uses overlap factors 1/6 and 1/5 instead —
+# a seam-pixel-only difference to re-verify on first real-weights
+# contact (ROADMAP "reconstructed from specification").
+# ---------------------------------------------------------------------------
+
+def tiled_streaming_decode(cfg: M.CogVideoXVAEConfig, params: Params,
+                           z: jax.Array, tile_min: int = 256,
+                           tile_stride: int = 192) -> jax.Array:
+    """z [B, z, T', h, w] -> video [B, 3, T, H, W]; falls back to the
+    untiled streaming walk when the canvas fits one tile. Per-tile peak
+    memory: one frame chunk of one 256px tile (~0.23x of the full-frame
+    chunk at 448x640, which alone exhausted a 16 GB chip next to the
+    resident DiT)."""
+    from frameino_tpu.models.wan_vae_tiling import (_blend_h, _blend_v,
+                                                    _positions)
+
+    sc = cfg.spatial_compression_ratio
+    h, w = z.shape[3], z.shape[4]
+    lat_min = tile_min // sc
+    lat_stride = tile_stride // sc
+    if h <= lat_min and w <= lat_min:
+        return streaming_decode(cfg, params, z)
+    blend = tile_min - tile_stride
+
+    ys = _positions(h, lat_min, lat_stride)
+    xs = _positions(w, lat_min, lat_stride)
+    rows = []
+    for i in ys:
+        row = []
+        for j in xs:
+            tile = z[:, :, :, i:i + lat_min, j:j + lat_min]
+            row.append(streaming_decode(cfg, params, tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            ch = tile_stride if i < len(ys) - 1 else tile.shape[-2]
+            cw = tile_stride if j < len(xs) - 1 else tile.shape[-1]
+            result_row.append(tile[:, :, :, :ch, :cw])
+        result_rows.append(jnp.concatenate(result_row, axis=-1))
+    out = jnp.concatenate(result_rows, axis=-2)
+    return out[:, :, :, :h * sc, :w * sc]
+
+
+def tiled_streaming_encode_moments(cfg: M.CogVideoXVAEConfig,
+                                   params: Params, video: jax.Array,
+                                   tile_min: int = 256,
+                                   tile_stride: int = 192) -> jax.Array:
+    """video [B, 3, T, H, W] -> moments [B, 2z, T', h, w]; blending in
+    LATENT space (the reference's tiled_encode semantics). Untiled when
+    the canvas fits one tile."""
+    from frameino_tpu.models.wan_vae_tiling import (_blend_h, _blend_v,
+                                                    _positions)
+
+    sc = cfg.spatial_compression_ratio
+    B, C, T, H, W = video.shape
+    if H <= tile_min and W <= tile_min:
+        return streaming_encode_moments(cfg, params, video)
+    lat_stride = tile_stride // sc
+    blend_lat = (tile_min - tile_stride) // sc
+
+    ys = _positions(H, tile_min, tile_stride)
+    xs = _positions(W, tile_min, tile_stride)
+    rows = []
+    for i in ys:
+        row = []
+        for j in xs:
+            tile = video[:, :, :, i:i + tile_min, j:j + tile_min]
+            row.append(streaming_encode_moments(cfg, params, tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_lat)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_lat)
+            ch = lat_stride if i < len(ys) - 1 else tile.shape[-2]
+            cw = lat_stride if j < len(xs) - 1 else tile.shape[-1]
+            result_row.append(tile[:, :, :, :ch, :cw])
+        result_rows.append(jnp.concatenate(result_row, axis=-1))
+    out = jnp.concatenate(result_rows, axis=-2)
+    return out[:, :, :, :H // sc, :W // sc]

@@ -82,21 +82,21 @@ def prepare_conditions(vae_cfg: cogvideox_vae.CogVideoXVAEConfig,
                                                          jnp.floating))
 
     def enc(v, k):
+        # every condition encodes through the tiled streaming walker
+        # (cogvideox_vae_streaming.streaming_encode): spatial tiles +
+        # frame-chunk conv-cache walk — the reference protocol itself
+        # (its eval enables VAE tiling+slicing,
+        # run_cogvideox_FrameIn_mass_evaluation.py:95-96), and peak
+        # activation memory = one frame chunk of one 256px tile, which
+        # coexists with the resident 5B DiT on a 16 GB chip. Small
+        # canvases / single frames fall back to untiled single-chunk
+        # programs inside the walker (identical numerics there).
+        from frameino_tpu.models import cogvideox_vae_streaming
         from frameino_tpu.ops.conv import conv_accum_dtype
         v = v.astype(pdt)
         with conv_accum_dtype(pdt):
-            if v.shape[2] > vae_cfg.frame_batch_size_encode:
-                # multi-chunk inputs (the trajectory video) run the
-                # streaming walker: peak activation memory = one chunk,
-                # not the whole clip (6.8 GB fp32 first-conv temp at
-                # 448x640x49f — models/cogvideox_vae_streaming.py);
-                # numerics identical
-                from frameino_tpu.models import cogvideox_vae_streaming
-                z = cogvideox_vae_streaming.streaming_encode(
-                    vae_cfg, vae_params, v, sample_mode="sample", key=k)
-            else:
-                z = cogvideox_vae.encode(vae_cfg, vae_params, v,
-                                         sample_mode="sample", key=k)
+            z = cogvideox_vae_streaming.streaming_encode(
+                vae_cfg, vae_params, v, sample_mode="sample", key=k)
         return (z * sf).transpose(0, 2, 1, 3, 4)        # -> [B,F,z,h,w]
 
     img_lat = enc(image[:, :, None], k1)                # [B,1,z,h,w]
@@ -217,39 +217,36 @@ class CogVideoXImageToVideoPipeline:
         self.vae_params = vae_params
         self.pipe_cfg = pipe_cfg
         self.text_encoder_fn = text_encoder_fn
-        self._dit_host = None     # host master copy (offload_dit)
+        self._dit_host = None     # host master copies (offload_*)
+        self._vae_host = None
 
-    def _move(self, attr: str, target, group: int = 16) -> Params:
-        """device_put the named param tree to target, a GROUP of leaves
-        at a time with a forced sync between groups — an 11 GB tree in
-        one batched_device_put burst can overwhelm the tunneled-worker
-        transport (observed worker crash). Drops the old references so
-        the source buffers actually free group by group, bounding peak
-        double-residency at one group."""
-        flat, treedef = jax.tree.flatten(getattr(self, attr))
-        setattr(self, attr, None)           # release the old tree refs
+    def offload_vae(self) -> None:
+        """Free the VAE's HBM (~0.4 GB) during denoise. Host-master
+        design like offload_dit: snapshot to host numpy once, then every
+        offload just drops the device tree — repeated device->host
+        param fetches have crashed the tunneled TPU worker."""
+        if self._vae_host is None:
+            flat, treedef = jax.tree.flatten(self.vae_params)
+            self.vae_params = None
+            self._vae_host = jax.tree.unflatten(
+                treedef, [jax.device_get(x) for x in flat])
+        else:
+            self.vae_params = None
+
+    def restore_vae(self, group: int = 16) -> Params:
+        """Bring offloaded VAE params back to the accelerator."""
+        if self.vae_params is not None:
+            return self.vae_params
+        dev = jax.devices()[0]
+        flat, treedef = jax.tree.flatten(self._vae_host)
         out = []
         for i in range(0, len(flat), group):
-            chunk = [jax.device_put(leaf, target)
+            chunk = [jax.device_put(leaf, dev)
                      for leaf in flat[i:i + group]]
-            for j in range(i, i + len(chunk)):
-                flat[j] = None              # free the source buffer
-            # force completion (tunnel: block_until_ready is a no-op,
-            # a one-scalar fetch is the only real sync)
             float(chunk[-1].ravel()[0])
             out.extend(chunk)
-        tree = jax.tree.unflatten(treedef, out)
-        setattr(self, attr, tree)
-        return tree
-
-    def offload_vae(self) -> Params:
-        """Move the VAE params to host RAM (frees ~0.4 GB HBM for the
-        denoise working set); reassigns and returns self.vae_params."""
-        return self._move("vae_params", jax.devices("cpu")[0])
-
-    def restore_vae(self) -> Params:
-        """Bring offloaded VAE params back to the accelerator."""
-        return self._move("vae_params", jax.devices()[0])
+        self.vae_params = jax.tree.unflatten(treedef, out)
+        return self.vae_params
 
     def offload_dit(self) -> None:
         """Free the DiT's HBM during the VAE condition encodes — the
@@ -343,19 +340,16 @@ class CogVideoXImageToVideoPipeline:
                 id_tensor = id_tensor[None]
             elif id_tensor.ndim == 5:
                 id_tensor = id_tensor[:, :, 0]
-        if vae_offload:
-            # the reference's enable_model_cpu_offload choreography
-            # (run_cogvideox_FrameIn_mass_evaluation.py:104): DiT parks
-            # on host while the VAE encoder runs (its conv-cache state +
-            # chunk temps do not fit beside the bf16 5B tree at the
-            # 448x640x49f protocol shape), then they swap for denoise
-            self.offload_dit()
+        if self.dit_params is None:
+            self.restore_dit()      # left parked by a prior offload call
         image_latents, traj_latents, id_latent = prepare_conditions(
             vae_cfg, self.vae_params, image, traj_tensor, id_tensor, F,
             k_cond)
         if vae_offload:
+            # cheap half of the reference's cpu-offload recipe: park the
+            # VAE (~0.4 GB) during denoise. The DiT never needs to move:
+            # the tiled streaming encode/decode fit beside it.
             self.offload_vae()
-            self.restore_dit()
 
         has_id = id_latent is not None
         cos, sin = cogvideox_dit.cogvideox_rope(
@@ -407,7 +401,7 @@ class CogVideoXImageToVideoPipeline:
                 video = cogvideox_vae.decode(vae_cfg, self.vae_params, zlat)
             else:
                 from frameino_tpu.models import cogvideox_vae_streaming
-                video = cogvideox_vae_streaming.streaming_decode(
+                video = cogvideox_vae_streaming.tiled_streaming_decode(
                     vae_cfg, self.vae_params, zlat)
         video = jnp.clip(video.astype(jnp.float32), -1.0, 1.0)
         return np.asarray(video) if output_type == "np" else video

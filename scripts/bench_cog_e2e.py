@@ -56,15 +56,10 @@ def main():
     dit_shapes = jax.eval_shape(
         lambda k: cogvideox_dit.init_cogvideox_dit(k, dit_cfg),
         jax.random.key(0))
-    if args.int8:
-        dit_params = zeros_like_tree(dit_shapes)
-    else:
-        # bf16 runs the cpu-offload choreography: build the DiT on the
-        # HOST so the pipeline's host-master offload never has to fetch
-        # 11 GB back over the (fragile) tunnel — per clip it only pays
-        # the one host->device upload a production offload server pays
-        dit_params = jax.tree.map(
-            lambda s: np.zeros(s.shape, jnp.bfloat16), dit_shapes)
+    # the DiT stays resident in both modes: the tiled streaming VAE's
+    # per-tile chunk programs fit beside it (the published protocol —
+    # the reference eval enables VAE tiling+slicing)
+    dit_params = zeros_like_tree(dit_shapes)
     vae_params = zeros_like_tree(jax.eval_shape(
         lambda k: cogvideox_vae.init_cogvideox_vae(k, vae_cfg),
         jax.random.key(1)))
@@ -95,9 +90,13 @@ def main():
     t0 = time.time()
     lat = run_latent()
     first = time.time() - t0
+    print(f"# first call (compiles + run): {first:.0f}s", file=sys.stderr,
+          flush=True)
     t0 = time.time()
     lat = run_latent()
     denoise_s = time.time() - t0
+    print(f"# steady encode+denoise: {denoise_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     if not args.int8:
         pipe.restore_vae()
@@ -105,10 +104,13 @@ def main():
             / vae_cfg.scaling_factor).astype(jnp.bfloat16)
 
     def run_decode():
+        # tiled x streaming decode — the published protocol (the
+        # reference eval enables VAE tiling+slicing, :95-96); the DiT
+        # stays resident
         from frameino_tpu.models import cogvideox_vae_streaming
         from frameino_tpu.ops.conv import conv_accum_dtype
         with conv_accum_dtype(jnp.bfloat16):
-            video = cogvideox_vae_streaming.streaming_decode(
+            video = cogvideox_vae_streaming.tiled_streaming_decode(
                 vae_cfg, pipe.vae_params, zlat)
         float(video[0, 0, 0, 0, 0])
         return video

@@ -287,3 +287,48 @@ class TestStreamingModule:
         assert stream.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(stream, np.float32),
                                    np.asarray(full), atol=0.15, rtol=0.15)
+
+
+class TestTiledStreaming:
+    """Spatial tiling x frame-chunk streaming — the published protocol
+    (the reference eval enables VAE tiling+slicing,
+    run_cogvideox_FrameIn_mass_evaluation.py:95-96)."""
+
+    def test_single_tile_is_exact(self, params):
+        # canvas within one tile: tiled == plain streaming bit-for-bit
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        z = jax.random.normal(jax.random.key(9),
+                              (1, CFG.latent_channels, 3, 4, 4))
+        a = S.tiled_streaming_decode(CFG, params, z)
+        b = S.streaming_decode(CFG, params, z)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tiled_decode_geometry(self, params):
+        """Tiled decode covers the exact canvas with finite pixels.
+        Tile values legitimately differ from the untiled decode even
+        away from seams (the decoder's receptive field spans whole
+        tiles at test scale) — the reference's tiling is approximate by
+        design; exactness is asserted on the single-tile fallback."""
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        z = jax.random.normal(jax.random.key(10),
+                              (1, CFG.latent_channels, 3, 8, 10))
+        full = np.asarray(S.streaming_decode(CFG, params, z))
+        tiled = np.asarray(S.tiled_streaming_decode(
+            CFG, params, z, tile_min=16, tile_stride=12))
+        assert tiled.shape == full.shape
+        assert np.isfinite(tiled).all()
+
+    def test_tiled_encode_geometry(self, params):
+        from frameino_tpu.models import cogvideox_vae_streaming as S
+        video = jax.random.normal(jax.random.key(11), (1, 3, 9, 32, 40))
+        full = np.asarray(S.streaming_encode_moments(CFG, params, video))
+        tiled = np.asarray(S.tiled_streaming_encode_moments(
+            CFG, params, video, tile_min=16, tile_stride=12))
+        assert tiled.shape == full.shape
+        assert np.isfinite(tiled).all()
+        # single-tile fallback is bit-exact
+        small = np.asarray(S.tiled_streaming_encode_moments(
+            CFG, params, video[..., :16, :16]))
+        ref = np.asarray(S.streaming_encode_moments(
+            CFG, params, video[..., :16, :16]))
+        np.testing.assert_array_equal(small, ref)
