@@ -105,6 +105,46 @@ def naive_backends() -> Dict[str, Callable]:
             "embedder": naive_embedder, "judge": naive_judge}
 
 
+def random_init_jax_backends(seed: int = 0) -> Dict[str, Callable]:
+    """TIMING-ONLY backends: the released-SCALE JAX perception graphs
+    (CoTracker3-offline, SAM2.1-hiera-large, DINOv2-ViT-B/14) with
+    RANDOM weights. Scores are meaningless; wall-clock is exact (the
+    graphs are shape benchmarks — weight values change nothing about
+    compiled-program cost). Used by ``scripts/bench_mass_eval.py`` to
+    measure the per-instance mass-evaluation cost on the chip without
+    egress for checkpoints.
+
+    The judge stays ``naive_judge``: Qwen2.5-VL-32B (64 GB bf16) cannot
+    fit a single 16 GB chip — its tp=8 sharded graph is validated in
+    the multichip dryrun, and its vision-tower latency is measured
+    separately in ``scripts/bench_perception.py``.
+    """
+    import warnings
+
+    import jax
+
+    warnings.warn("random_init_jax_backends: RANDOM weights — metric "
+                  "VALUES are meaningless; use for timing only",
+                  stacklevel=2)
+    from frameino_tpu.models.cotracker import (COTRACKER3_OFFLINE,
+                                               init_cotracker,
+                                               make_tracker_adapter)
+    from frameino_tpu.models.dinov2 import (DINOV2_VITB14, init_dinov2,
+                                            make_embedder_adapter)
+    from frameino_tpu.models.sam2 import SAM21_HIERA_LARGE, init_sam2
+    from frameino_tpu.models.sam2_video import make_segmenter_adapter
+
+    key = jax.random.key(seed)
+    tracker = make_tracker_adapter(
+        init_cotracker(jax.random.fold_in(key, 0), COTRACKER3_OFFLINE))
+    segmenter = make_segmenter_adapter(
+        init_sam2(jax.random.fold_in(key, 1), SAM21_HIERA_LARGE))
+    embedder = make_embedder_adapter(
+        init_dinov2(jax.random.fold_in(key, 2), DINOV2_VITB14))
+    return {"tracker": tracker, "segmenter": segmenter,
+            "embedder": embedder, "judge": naive_judge}
+
+
 # ---------------------------------------------------------------------------
 # Real backends (loaded lazily; require downloaded weights)
 # ---------------------------------------------------------------------------

@@ -676,6 +676,15 @@ def load_cotracker_jax(checkpoint_path: str,
             sd = sd["model"]
         sd = {k: v.numpy() for k, v in sd.items()}
     params = cotracker_from_state_dict(sd, cfg)
+    return make_tracker_adapter(params, cfg,
+                                backward_tracking=backward_tracking)
+
+
+def make_tracker_adapter(params, cfg: CoTrackerConfig = COTRACKER3_OFFLINE,
+                         backward_tracking: bool = False):
+    """Wrap a params tree as the ``track(frames, queries)`` perception
+    adapter (shared by the released-checkpoint loader and the
+    random-init timing benches)."""
     fwd = jax.jit(lambda v, q: cotracker_predict(
         cfg, params, v, q, backward_tracking=backward_tracking))
 

@@ -292,6 +292,15 @@ def load_dinov2_jax(checkpoint_path: str,
                     weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     params = dinov2_from_state_dict(sd, cfg)
+    return make_embedder_adapter(params, cfg, input_size)
+
+
+def make_embedder_adapter(params, cfg: Dinov2Config = DINOV2_VITB14,
+                          input_size: int = 224):
+    """Wrap a params tree as the ``embed(image)`` perception adapter
+    (shared by the released-checkpoint loader and the random-init
+    timing benches)."""
+    import cv2
     grid = input_size // cfg.patch_size
     pe = jnp.asarray(interpolate_pos_embed(
         np.asarray(params["pos_embed"]), (grid, grid), cfg))

@@ -493,6 +493,15 @@ def load_sam2_jax(checkpoint_path: str,
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() for k, v in sd.items()}
     params = sam2_from_state_dict(sd, cfg)
+    return make_segmenter_adapter(params, cfg)
+
+
+def make_segmenter_adapter(params, cfg: Sam2Config = None):
+    """Wrap a params tree as the ``segment(frames, queries)`` perception
+    adapter (shared by the released-checkpoint loader and the
+    random-init timing benches)."""
+    from frameino_tpu.models.sam2 import SAM21_HIERA_LARGE
+    cfg = cfg or SAM21_HIERA_LARGE
     predictor = Sam2VideoPredictor(params, cfg)
 
     def segment(frames: np.ndarray, queries: np.ndarray) -> np.ndarray:

@@ -15,33 +15,42 @@ jitted program, or use it inside the traced function body.
 
 from __future__ import annotations
 
+import contextvars
+
 import jax.numpy as jnp
 
-_DEFAULT_ACCUM_DTYPE = jnp.float32
+# A ContextVar (not a module global) so that concurrently-traced programs
+# cannot leak scopes into each other: each thread starts from a fresh
+# context, so a warmup trace racing a request trace in the threaded server
+# each sees its own scope (or the fp32 default), never the other's.
+_ACCUM_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
+    "frameino_accum_dtype", default=jnp.float32
+)
 
 
 def default_accum_dtype():
-    return _DEFAULT_ACCUM_DTYPE
+    return _ACCUM_DTYPE.get()
 
 
 def low_precision_scope_active() -> bool:
-    return _DEFAULT_ACCUM_DTYPE != jnp.float32
+    return _ACCUM_DTYPE.get() != jnp.float32
 
 
 class accum_dtype_scope:
     """Context manager scoping the default accumulation/materialization
-    dtype for convs (``ops/conv.py``) and VAE norms (``ops/norms.py``)."""
+    dtype for convs (``ops/conv.py``) and VAE norms (``ops/norms.py``).
+
+    Scoping is per-``contextvars`` context (hence per-thread): entering the
+    scope on one thread is invisible to traces running on any other thread.
+    """
 
     def __init__(self, dtype):
         self.dtype = dtype
 
     def __enter__(self):
-        global _DEFAULT_ACCUM_DTYPE
-        self._prev = _DEFAULT_ACCUM_DTYPE
-        _DEFAULT_ACCUM_DTYPE = self.dtype
+        self._token = _ACCUM_DTYPE.set(self.dtype)
         return self
 
     def __exit__(self, *exc):
-        global _DEFAULT_ACCUM_DTYPE
-        _DEFAULT_ACCUM_DTYPE = self._prev
+        _ACCUM_DTYPE.reset(self._token)
         return False

@@ -7,13 +7,23 @@ by nothing — these are shape benchmarks) on the default backend:
   VSeg-MAE video propagation) + one propagation step (memory attention
   over a full 7-slot bank + SAM heads + memory encoder),
 - DINOv2 ViT-B/14 @ 224 (Relative-DINO embedder),
-- Qwen2.5-VL vision tower at the judge's 360x420x2-frame grid.
+- Qwen2.5-VL vision tower at the judge's 360x420x2-frame grid,
+- CoTracker3-offline, one 49-frame track call at the eval protocol
+  shape (the INO_Traj metric runs this TWICE per instance,
+  evaluate_INO_Traj.py:194-216),
+- OneFormer Swin-L panoptic @ 480x832 via the preprocess step-4
+  adapter (detectron2 shortest-edge-800 test policy).
 
-Prints one line per model: compile time and steady-state latency.
-Timing follows the repo convention: fetch a scalar to force execution
-(block_until_ready does not synchronize on the tunneled TPU).
+Prints one human line per model on stderr and ONE JSON summary line on
+stdout (PERCEPTION_r0N artifact). Timing follows the repo convention:
+fetch a scalar to force execution (block_until_ready does not
+synchronize on the tunneled TPU).
+
+Usage: python scripts/bench_perception.py [--only dinov2,sam2,...]
 """
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -24,6 +34,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+RESULTS = {}
 
 
 def timeit(fn, *args, iters=3):
@@ -52,25 +64,29 @@ def bench_sam2():
                     jnp.bfloat16)
     c, t = timeit(lambda x: pred._encode(params, x), img)
     print(f"sam2.1-hiera-L encoder 1024^2: compile {c:.1f}s, "
-          f"{t * 1e3:.1f} ms/frame")
+          f"{t * 1e3:.1f} ms/frame", file=sys.stderr)
+    RESULTS["sam2_encoder_ms_per_frame"] = round(t * 1e3, 1)
+    RESULTS["sam2_encoder_compile_s"] = round(c, 1)
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (3, 480, 640, 3)).astype(np.uint8)
+    frames = rng.integers(0, 255, (8, 480, 640, 3)).astype(np.uint8)
     state = pred.init_state(frames)
     pred.add_new_points(state, 0, np.array([[320.0, 240.0]]),
                         np.array([1]))
     t0 = time.time()
     masks = dict(pred.propagate_in_video(state))
     prop_s = time.time() - t0
-    assert len(masks) == 3
+    assert len(masks) == 8
     t0 = time.time()
     state2 = pred.init_state(frames)
     pred.add_new_points(state2, 0, np.array([[320.0, 240.0]]),
                         np.array([1]))
     _ = dict(pred.propagate_in_video(state2))
     prop2 = time.time() - t0
-    print(f"sam2.1 video propagate (3 frames incl. cond): "
+    print(f"sam2.1 video propagate (8 frames incl. cond): "
           f"first {prop_s:.1f}s, cached {prop2:.2f}s "
-          f"({prop2 / 3 * 1e3:.0f} ms/frame)")
+          f"({prop2 / 8 * 1e3:.0f} ms/frame)", file=sys.stderr)
+    RESULTS["sam2_propagate_ms_per_frame"] = round(prop2 / 8 * 1e3, 1)
+    RESULTS["sam2_propagate_first_s"] = round(prop_s, 1)
 
 
 def bench_dinov2():
@@ -85,12 +101,20 @@ def bench_dinov2():
     x = jnp.zeros((8, 224, 224, 3), jnp.float32)
     c, t = timeit(fwd, params, x)
     print(f"dinov2-vitb14 224^2 batch 8: compile {c:.1f}s, "
-          f"{t * 1e3:.1f} ms ({t / 8 * 1e3:.2f} ms/img)")
+          f"{t * 1e3:.1f} ms ({t / 8 * 1e3:.2f} ms/img)", file=sys.stderr)
+    RESULTS["dinov2_ms_per_img_b8"] = round(t / 8 * 1e3, 2)
+    RESULTS["dinov2_compile_s"] = round(c, 1)
+    # the Relative_DINO metric embeds one crop at a time (2x49+1 calls
+    # per instance) — measure the batch-1 latency it actually pays
+    x1 = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    c1, t1 = timeit(fwd, params, x1)
+    print(f"dinov2-vitb14 224^2 batch 1: compile {c1:.1f}s, "
+          f"{t1 * 1e3:.2f} ms/img", file=sys.stderr)
+    RESULTS["dinov2_ms_per_img_b1"] = round(t1 * 1e3, 2)
 
 
 def bench_qwen_tower():
     from frameino_tpu.models.qwen_vl import (QWEN25_VL_32B,
-                                             qwen_vl_from_state_dict,
                                              qwen_vision_forward,
                                              vision_layout)
     # random full-size vision tower built directly (no LLM needed)
@@ -135,11 +159,91 @@ def bench_qwen_tower():
     fwd = jax.jit(lambda p, x: qwen_vision_forward(p, x, layout, cfg))
     c, t = timeit(fwd, params, pixels)
     print(f"qwen2.5-vl vision tower {grid} ({S} patches): "
-          f"compile {c:.1f}s, {t * 1e3:.1f} ms")
+          f"compile {c:.1f}s, {t * 1e3:.1f} ms", file=sys.stderr)
+    RESULTS["qwen_vision_tower_ms"] = round(t * 1e3, 1)
+    RESULTS["qwen_vision_tower_compile_s"] = round(c, 1)
+
+
+def bench_cotracker():
+    """One 49-frame track call at the eval-protocol shape — the
+    INO_Traj metric's unit of work (it runs this twice per instance:
+    gen tracks + gt tracks). 8 query points (the fixture's count;
+    cost is nearly flat in N until N ~ hundreds: the updateformer
+    runs over N virtual tracks x 49 frames)."""
+    from frameino_tpu.models.cotracker import (COTRACKER3_OFFLINE,
+                                               init_cotracker,
+                                               make_tracker_adapter)
+    cfg = COTRACKER3_OFFLINE
+    params = init_cotracker(jax.random.key(0), cfg)
+    track = make_tracker_adapter(params, cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (49, 448, 640, 3)).astype(np.uint8)
+    queries = np.array([[100.0 + 30 * i, 120.0 + 10 * i]
+                        for i in range(8)], np.float32)
+    t0 = time.time()
+    out = track(frames, queries)
+    first = time.time() - t0
+    assert out.shape == (49, 8, 2)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        track(frames, queries)
+        times.append(time.time() - t0)
+    t = min(times)
+    print(f"cotracker3-offline 49f@448x640 x8 queries: compile+first "
+          f"{first:.1f}s, {t:.2f} s/track-call", file=sys.stderr)
+    RESULTS["cotracker_49f_track_s"] = round(t, 2)
+    RESULTS["cotracker_compile_s"] = round(first, 1)
+
+
+def bench_oneformer():
+    """Preprocess step-4 panoptic cost: OneFormer Swin-L through the
+    pipeline adapter (shortest-edge-800 test policy), one 480x832
+    frame (the curation clip resolution)."""
+    from frameino_tpu.models.oneformer import init_oneformer
+    from frameino_tpu.preprocess.panoptic_oneformer import \
+        OneFormerSegmenter
+    params = init_oneformer(jax.random.key(0))
+    seg = OneFormerSegmenter(params)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (480, 832, 3)).astype(np.uint8)
+    t0 = time.time()
+    seg.panoptic(frame)
+    first = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        seg.panoptic(frame)
+        times.append(time.time() - t0)
+    t = min(times)
+    print(f"oneformer swin-L panoptic 480x832 (800-edge): compile+first "
+          f"{first:.1f}s, {t * 1e3:.0f} ms/frame", file=sys.stderr)
+    RESULTS["oneformer_ms_per_frame"] = round(t * 1e3, 0)
+    RESULTS["oneformer_compile_s"] = round(first, 1)
+
+
+BENCHES = {
+    "dinov2": bench_dinov2,
+    "qwen": bench_qwen_tower,
+    "cotracker": bench_cotracker,
+    "sam2": bench_sam2,
+    "oneformer": bench_oneformer,
+}
 
 
 if __name__ == "__main__":
-    print(f"backend: {jax.default_backend()}")
-    bench_dinov2()
-    bench_qwen_tower()
-    bench_sam2()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help=f"comma list from {sorted(BENCHES)}")
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else list(BENCHES)
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    for name in names:
+        BENCHES[name]()
+    print(json.dumps({
+        "metric": "perception_stack_latencies_tpu",
+        "unit": "per-model compile + steady latencies (released scale, "
+                "random weights — shape benchmarks)",
+        "backend": jax.default_backend(),
+        "value": RESULTS,
+    }))

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from frameino_tpu.core.flops import count_flops, device_peak_flops
 from frameino_tpu.models import wan_dit, wan_vae
 from frameino_tpu.training import (OptimizerConfig, TrainerConfig,
                                    init_train_state, make_optimizer,
@@ -116,6 +117,73 @@ def peak_hbm_gb():
     return round(peak / 2**30, 2) if peak else None
 
 
+def static_hbm_gb(compiled):
+    """Compiler-estimated HBM footprint of the executable — the fallback
+    for the tunneled platform where device memory_stats() is empty
+    (TRAIN_BENCH_r04's silent null). arguments + outputs - aliased
+    (donated buffers overlap) + temps."""
+    try:
+        m = compiled.memory_analysis()
+        total = (m.argument_size_in_bytes + m.output_size_in_bytes
+                 - m.alias_size_in_bytes + m.temp_size_in_bytes)
+        return round(total / 2**30, 2)
+    except Exception:
+        return None
+
+
+def struct_tree(shapes, dtype=None):
+    return jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape, dtype if dtype is not None else s.dtype), shapes)
+
+
+def analytic_flops(args, layers, dtype):
+    """Executed (HFU numerator) and model (MFU numerator) FLOPs of the
+    train step at the given layer count, by abstract tracing — correct
+    under lax.scan, unlike XLA cost_analysis which counts the scanned
+    block body once regardless of trip count (the r4 bug: L=2 and L=4
+    programs 'differed' by 6.5 GFLOP where two blocks are ~1.5e13).
+
+    model flops = the remat=False trace (fwd + 2x bwd, no recompute
+    credit — the conventional MFU numerator); executed flops = the
+    remat=True trace, whose jaxpr contains the recompute explicitly.
+    No allocation happens (ShapeDtypeStruct args), so this runs at
+    L=30 even though one chip cannot hold the 30-block fp32 state.
+    """
+    dit_cfg = dataclasses.replace(wan_dit.WAN22_TI2V_5B_MOTION,
+                                  num_layers=layers)
+    vae_cfg = wan_vae.WAN22_VAE_CONFIG
+    opt = make_optimizer(OptimizerConfig())
+
+    dit_struct = struct_tree(jax.eval_shape(
+        lambda k: wan_dit.init_wan_dit(k, dit_cfg), jax.random.key(0)), dtype)
+    state_struct = jax.eval_shape(lambda p: init_train_state(p, opt),
+                                  dit_struct)
+    vae_struct = None
+    if not args.no_vae:
+        vae_struct = struct_tree(jax.eval_shape(
+            lambda k: wan_vae.init_wan_vae(k, vae_cfg), jax.random.key(1)),
+            jnp.bfloat16)
+    batch_struct = jax.eval_shape(
+        lambda k: build_batch(args, vae_cfg, dit_cfg, k), jax.random.key(2))
+    key_struct = jax.eval_shape(lambda: jax.random.key(3))
+
+    out = {}
+    for name, remat in (("executed", True), ("model", False)):
+        # attn_impl="xla" for the COUNTING trace only: identical math to
+        # the pallas kernel the timed step runs, but the QK^T/PV dots
+        # are visible dot_generals instead of being buried inside a
+        # pallas_call whose in-kernel kv loop the counter can't unroll
+        step = make_train_step(
+            dit_cfg, vae_cfg,
+            TrainerConfig(remat=remat, attn_impl="xla"), opt)
+        r = count_flops(step, state_struct, vae_struct, batch_struct,
+                        key_struct)
+        assert r.while_loops == 0, "unbounded loop on the train hot path"
+        out[name] = r.flops
+    return out
+
+
 def measure(args, layers, dtype):
     dit_cfg = dataclasses.replace(wan_dit.WAN22_TI2V_5B_MOTION,
                                   num_layers=layers)
@@ -137,10 +205,9 @@ def measure(args, layers, dtype):
     batch = build_batch(args, vae_cfg, dit_cfg, jax.random.key(2))
     key = jax.random.key(3)
 
-    lowered = step.lower(state, vae_params, batch, key)
-    flops = None
+    compiled = None
     try:
-        flops = lowered.compile().cost_analysis()["flops"]
+        compiled = step.lower(state, vae_params, batch, key).compile()
     except Exception:
         pass
 
@@ -154,13 +221,16 @@ def measure(args, layers, dtype):
         state, m = step(state, vae_params, batch, key)
         float(m["loss"])
         times.append(time.time() - t0)
+    flops = analytic_flops(args, layers, dtype)
     return {
         "layers": layers,
         "step_s": min(times),
         "compile_s": round(compile_s, 1),
         "params_b": round(n_params / 1e9, 3),
-        "flops": flops,
+        "executed_flops": flops["executed"],
+        "model_flops": flops["model"],
         "peak_hbm_gb": peak_hbm_gb(),
+        "static_hbm_gb": static_hbm_gb(compiled) if compiled else None,
     }
 
 
@@ -176,8 +246,13 @@ def main():
     for r in results:
         print(f"# L={r['layers']}: {r['step_s']:.3f} s/step "
               f"(compile {r['compile_s']}s, {r['params_b']}B params, "
-              f"peak HBM {r['peak_hbm_gb']} GB)", file=sys.stderr)
+              f"peak HBM {r['peak_hbm_gb']} GB, "
+              f"static HBM {r['static_hbm_gb']} GB, "
+              f"model {r['model_flops'] / 1e12:.1f} TFLOP / "
+              f"executed {r['executed_flops'] / 1e12:.1f} TFLOP)",
+              file=sys.stderr)
 
+    peak = device_peak_flops()
     out = {
         "metric": "wan22_stage2_train_step_sec_tpu"
                   + ("_flagship" if args.flagship else ""),
@@ -185,23 +260,38 @@ def main():
                  f"{args.height}x{args.width}, 5B dims, "
                  f"{'latents precomputed' if args.no_vae else 'in-graph VAE encodes'}, "
                  f"remat, AdamW {args.state_dtype} state)"),
+        "flops_note": ("analytic jaxpr count (core/flops.py), scan bodies "
+                       "x trip count; model=remat-free fwd+2bwd (MFU "
+                       "numerator), executed=remat trace (HFU numerator); "
+                       "XLA cost_analysis is NOT used — it counts scanned "
+                       "bodies once (r4 bug)"),
+        "device_peak_tflops": round(peak / 1e12, 1),
         "measured": results,
     }
     if len(results) >= 2:
         l0, l1 = results[0], results[-1]
-        slope = (l1["step_s"] - l0["step_s"]) / (l1["layers"] - l0["layers"])
+        dL = l1["layers"] - l0["layers"]
+        slope = (l1["step_s"] - l0["step_s"]) / dL
         t_full = l0["step_s"] + (FULL_LAYERS - l0["layers"]) * slope
         out["per_block_s"] = round(slope, 4)
         out["projected_30block_step_s"] = round(t_full, 3)
         out["value"] = round(t_full, 3)
-        if all(r["flops"] for r in results):
-            fslope = (l1["flops"] - l0["flops"]) / (l1["layers"] - l0["layers"])
-            f_full = l0["flops"] + (FULL_LAYERS - l0["layers"]) * fslope
-            out["projected_30block_tflops"] = round(f_full / 1e12, 1)
-            out["projected_mfu"] = round(f_full / t_full / V5E_PEAK_BF16, 3)
-            # measured-L MFU too (no projection involved)
-            out["measured_mfu"] = round(
-                l1["flops"] / l1["step_s"] / V5E_PEAK_BF16, 3)
+        # analytic flops at the FULL layer count — traced directly at
+        # L=30 (abstract, no allocation), not extrapolated
+        f30 = analytic_flops(args, FULL_LAYERS, dtype)
+        out["model_tflops_30block"] = round(f30["model"] / 1e12, 1)
+        out["executed_tflops_30block"] = round(f30["executed"] / 1e12, 1)
+        out["projected_mfu"] = round(f30["model"] / t_full / peak, 3)
+        out["projected_hfu"] = round(f30["executed"] / t_full / peak, 3)
+        # measured-L MFU/HFU too (no time projection involved)
+        out["measured_mfu"] = round(
+            l1["model_flops"] / l1["step_s"] / peak, 3)
+        out["measured_hfu"] = round(
+            l1["executed_flops"] / l1["step_s"] / peak, 3)
+        # sanity: per-block flops from the L-delta must match the
+        # L=30 total built from the same slope (linearity check)
+        per_block_model = (l1["model_flops"] - l0["model_flops"]) / dL
+        out["per_block_model_tflops"] = round(per_block_model / 1e12, 2)
     else:
         out["value"] = results[0]["step_s"]
     print(json.dumps(out))

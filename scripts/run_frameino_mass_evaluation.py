@@ -33,8 +33,12 @@ def parse_args():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--evaluate-only", action="store_true")
     p.add_argument("--num_instances", type=int, default=None)
-    p.add_argument("--backends", choices=["naive", "default"],
-                   default="naive")
+    p.add_argument("--backends", choices=["naive", "default", "jax-random"],
+                   default="naive",
+                   help="'jax-random' = released-SCALE JAX perception "
+                        "graphs with RANDOM weights — wall-clock "
+                        "benchmarking only, scores are meaningless "
+                        "(loud warning printed)")
     p.add_argument("--cotracker_checkpoint", default=None,
                    help="released CoTracker3-offline weights; with "
                         "--backends default, runs the JAX tracker "
@@ -217,6 +221,12 @@ def main():
     if args.backends == "naive":
         from frameino_tpu.evaluation.perception import naive_backends
         backends = naive_backends()
+    elif args.backends == "jax-random":
+        from frameino_tpu.evaluation.perception import \
+            random_init_jax_backends
+        print("WARNING: --backends jax-random uses RANDOM weights; "
+              "metric VALUES below are meaningless (timing only)")
+        backends = random_init_jax_backends()
     else:
         from frameino_tpu.evaluation.perception import load_default_backends
         backends = load_default_backends(
