@@ -7,15 +7,22 @@ ID-frame tokens, 512 text tokens), CFG batch-stacked (batch 2), per-token
 timesteps, Pallas flash attention — i.e. exactly one denoise step of the
 compiled FrameINO inference scan.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+an "e2e_headline" field carrying the latest measured end-to-end clip
+numbers for all three headline configs (Wan flagship 81f, Wan 49f, Cog
+protocol 49f) from HEADLINE_E2E.json — refreshed each round by
+`python scripts/bench_headline.py` (VERDICT r4 weak #5: regressions in
+the e2e paths must be driver-visible, not buried in ROADMAP prose).
 
 Baseline: the reference publishes no timings (BASELINE.md). The A100
-estimate used here: 2 sequential CFG forwards of the 5B model over the
-same tokens ~= 1.24e14 FLOPs/step at 40% MFU of 312 TFLOP/s bf16
-=> ~1.0 denoise steps/sec. vs_baseline = measured / 1.0.
+denominator is the DOCUMENTED cost model (BASELINE.md "The A100
+denominator, derived"; scripts/a100_cost_model.py): 2 sequential CFG
+forwards = 120.1 traced TFLOP/step at 40% of 312 TFLOP/s fp16
+=> 1.039 denoise steps/sec. vs_baseline = measured / 1.039.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -25,7 +32,9 @@ import jax.numpy as jnp
 from frameino_tpu.models import wan_dit
 from frameino_tpu.schedulers.flow_match_euler import euler_step
 
-A100_EST_STEPS_PER_SEC = 1.0
+# BASELINE.md "The A100 denominator, derived": 120.1 TFLOP CFG step /
+# (312 TFLOP/s x 0.40 MFU) = 0.962 s/step
+A100_EST_STEPS_PER_SEC = 1.039
 
 # 49f @ 480x832 FrameINO: 13 latent frames + 1 ID frame
 B, F, H, W = 1, 13, 30, 52
@@ -107,14 +116,22 @@ def main():
     # on synthetic fixture clips with untrained weights — deltas
     # <=0.06px Traj / <=4e-6 elsewhere, both families; re-run against
     # real checkpoints on first contact, docs/DEPLOYMENT.md runbook)
+    headline = None
+    hp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "HEADLINE_E2E.json")
+    if os.path.exists(hp):
+        with open(hp) as f:
+            headline = json.load(f)
     print(json.dumps({
         "metric": "wan22_5b_frameino_denoise_steps_per_sec_per_chip",
         "value": round(int8_sps, 4),
         "unit": ("steps/sec int8-w8a8 serving path, fixture-certified "
                  "vs bf16 (CFG pair per step, 49f@480x832, 5590 tokens; "
-                 f"bf16: {steps_per_sec:.2f}); vs_baseline is vs an "
-                 "ESTIMATED A100 (reference publishes no timings)"),
+                 f"bf16: {steps_per_sec:.2f}); vs_baseline is vs the "
+                 "DOCUMENTED A100 cost model (BASELINE.md, "
+                 "scripts/a100_cost_model.py: 1.039 steps/s)"),
         "vs_baseline": round(int8_sps / A100_EST_STEPS_PER_SEC, 4),
+        "e2e_headline": headline,
     }))
     print(f"# compile={compile_s:.1f}s times={['%.3f' % t for t in times]} "
           f"int8={int8_sps:.4f} steps/s (compile {int8_compile:.1f}s)",
