@@ -128,7 +128,9 @@ class PipelineServer:
             # zero-pad to the bucket — padded frames/pixels carry no
             # trajectory dots and are cropped from the output
             traj_np, _ = tracks_to_traj_tensor(req["trajectories"], F, H, W)
-            traj_np = np.pad(traj_np, ((0, 0), (0, 0), (0, Fb - F),
+            # [F, 3, H, W]; both pipelines transpose 4-D traj to
+            # [1, 3, F, H, W] themselves
+            traj_np = np.pad(traj_np, ((0, Fb - F), (0, 0),
                                        (0, Hb - H), (0, Wb - W)))
             traj = jnp.asarray(traj_np)
 

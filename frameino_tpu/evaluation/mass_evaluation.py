@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -161,7 +162,10 @@ def mass_evaluation(data_parent_path: str,
                     store_json_path: str = "results.json") -> Dict:
     assert is_frame_in is not None
     results = {}
+    timings = {}
+    n_inst = len(_instances(data_parent_path))
     for metric in evaluation_metrics:
+        t0 = time.time()
         if metric == "INO_TrajError":
             results[metric] = eval_traj_error(
                 data_parent_path, backends["tracker"],
@@ -178,6 +182,12 @@ def mass_evaluation(data_parent_path: str,
                                        is_frame_in)
         else:
             raise NotImplementedError(metric)
+        timings[metric] = round(time.time() - t0, 2)
+    # per-metric wall seconds (totals, not per instance) — the mass-eval
+    # wall-clock benchmark reads these; ref pays hours of GPU per run
+    # (/root/reference/evaluation/mass_evaluation.py:20-63)
+    results["_timings_s"] = timings
+    results["_num_instances"] = n_inst
     if os.path.exists(store_json_path):
         os.remove(store_json_path)
     with open(store_json_path, "w") as f:

@@ -685,8 +685,11 @@ def make_tracker_adapter(params, cfg: CoTrackerConfig = COTRACKER3_OFFLINE,
     """Wrap a params tree as the ``track(frames, queries)`` perception
     adapter (shared by the released-checkpoint loader and the
     random-init timing benches)."""
-    fwd = jax.jit(lambda v, q: cotracker_predict(
-        cfg, params, v, q, backward_tracking=backward_tracking))
+    # params as an argument (closure capture would lower ~100 MB of
+    # weights as HLO constants — slow remote compiles on the tunnel)
+    jfwd = jax.jit(lambda p, v, q: cotracker_predict(
+        cfg, p, v, q, backward_tracking=backward_tracking))
+    fwd = lambda v, q: jfwd(params, v, q)  # noqa: E731
 
     def track(frames: np.ndarray, queries: np.ndarray) -> np.ndarray:
         video = jnp.asarray(frames, jnp.float32).transpose(0, 3, 1, 2)[None]

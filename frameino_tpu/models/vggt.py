@@ -565,7 +565,11 @@ def load_vggt_camera(checkpoint_path: str,
         sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
               for k, v in ckpt.items()}
     params = vggt_from_state_dict(sd, cfg)
-    fwd = jax.jit(lambda im: vggt_camera_forward(cfg, params, im))
+    # params as an argument — closure capture would embed the 1B-param
+    # tree as HLO constants (GBs of program text; breaks the tunneled
+    # remote compile and bloats compile memory everywhere)
+    jfwd = jax.jit(lambda p, im: vggt_camera_forward(cfg, p, im))
+    fwd = lambda im: jfwd(params, im)  # noqa: E731
 
     def estimate(frames: np.ndarray) -> Dict:
         imgs = preprocess_frames(frames)[None]          # [1,S,H,W,3]

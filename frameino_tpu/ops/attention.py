@@ -647,11 +647,17 @@ def _fused_ln_qk_flash_impl(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                          head_dim=D, eps=eps, block_s=block_s,
                          interpret=interpret)
     vh = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else v
-    # NOTE: the _auto_block divisor policy is a measured LOSS at this
-    # path's head_dim=64 (joint 19.5k tokens on v5e: (512,1024) 172 ms
-    # vs (768,768) 200 ms, (512,1664) 181 ms, (768,1664) 180 ms) —
-    # keep the fixed blocks here; divisor blocks win only at D=128.
-    bq = block_q if block_q is not None else min(512, sp)
+    # D=64 block policy: fixed (1024, 1024). The _auto_block divisor
+    # policy is a measured LOSS at this head_dim (joint 19.5k tokens on
+    # v5e: (512,1024) 172 ms vs (768,768) 200 ms, (512,1664) 181 ms),
+    # but the fixed (1024, 1024) blocks beat the old (512, 1024)
+    # default at both CogVideoX protocol shapes through this exact
+    # path (scripts/bench_attn_d64.py sweep + fused-path rerun on v5e):
+    #   S=15,906 (448x640x49f): 116.4 -> 108.5 ms  (57.3 -> 62 TFLOP/s)
+    #   S=19,126 (480x720x49f): 159.1 -> 147.4 ms
+    # Larger q blocks amortize the half-depth (K=64) QK^T pipeline
+    # startup across more rows; 2048-wide K blocks regress again.
+    bq = block_q if block_q is not None else min(1024, sp)
     bk = block_k if block_k is not None else min(1024, sp)
     out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
                      vh, scale=None, block_q=bq,

@@ -245,8 +245,9 @@ def make_autoshot_scorer(params: Params,
     """frames uint8 [T, 27, 48, 3] -> per-frame cut probabilities [T]
     (the reference's sliding-window inference keeps the middle 50 of
     each 100-frame window, ``scoring_scene_cut_autoshot.py:46-96``)."""
-    fwd = jax.jit(lambda f: jax.nn.sigmoid(
-        autoshot_forward(cfg, params, f)[0][0, :, 0]))
+    jfwd = jax.jit(lambda p, f: jax.nn.sigmoid(
+        autoshot_forward(cfg, p, f)[0][0, :, 0]))
+    fwd = lambda f: jfwd(params, f)  # noqa: E731  (no HLO constants)
 
     def score(frames: np.ndarray) -> np.ndarray:
         T = frames.shape[0]

@@ -331,7 +331,8 @@ def make_complexity_scorer(params: Params, cfg: ICNetConfig = ICNET):
     reference's IC_inference_transform: resize 512 + ImageNet
     normalize, ``scoring_img.py:109-113``)."""
     import cv2
-    fwd = jax.jit(lambda x: icnet_forward(cfg, params, x)[0])
+    jfwd = jax.jit(lambda p, x: icnet_forward(cfg, p, x)[0])
+    fwd = lambda x: jfwd(params, x)  # noqa: E731  (no HLO constants)
 
     def score(image: np.ndarray) -> float:
         img = cv2.resize(image, (cfg.size1, cfg.size1),

@@ -103,9 +103,15 @@ class OneFormerSegmenter:
         from frameino_tpu.models.oneformer import oneformer_forward
         if padded_hw not in self._jitted:
             cfg = self.cfg
-            self._jitted[padded_hw] = jax.jit(
-                lambda img, task: oneformer_forward(cfg, self.params,
-                                                    img, task))
+            # params must be an ARGUMENT, not a closure capture: closed-
+            # over arrays lower as HLO constants — measured 2.15 GB of
+            # program text for Swin-L at the 800-edge shape, which the
+            # tunneled remote-compile service rejects (broken pipe) and
+            # which bloats compile memory everywhere else.
+            fwd = jax.jit(lambda p, img, task: oneformer_forward(
+                cfg, p, img, task))
+            self._jitted[padded_hw] = \
+                lambda img, task: fwd(self.params, img, task)
         return self._jitted[padded_hw]
 
     def panoptic(self, image: np.ndarray):

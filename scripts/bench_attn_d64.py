@@ -235,8 +235,11 @@ def exp_packed():
 
 def exp_int8rate():
     """Raw MXU rate: bf16 vs int8 at K=64 and K=128 contractions, the
-    [bq, K] x [K, bk] shape class the flash kernel issues."""
-    M, N = 512, 1024
+    shape class the flash kernel issues per tile. The contraction
+    result is fed back into the next iteration's LHS so XLA cannot
+    hoist/CSE the loop-invariant dot, and M/N are large enough
+    (2048x4096) that per-iteration overhead is <5% of MXU time."""
+    M, N, ITERS = 2048, 4096, 50
     for dtype, acc in ((jnp.bfloat16, jnp.float32), (jnp.int8, jnp.int32)):
         for K in (64, 128):
             a = jnp.ones((M, K), dtype)
@@ -244,14 +247,18 @@ def exp_int8rate():
 
             @jax.jit
             def many(a, b):
-                def body(c, _):
+                def body(carry, _):
                     o = jax.lax.dot_general(
-                        a, b, (((1,), (0,)), ((), ())),
-                        preferred_element_type=acc)
-                    return c + o[:1, :1].astype(jnp.float32), None
-                out, _ = jax.lax.scan(body, jnp.zeros((1, 1)), None,
-                                      length=400)
-                return out[0, 0]
+                        carry, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc)  # [M, N]
+                    # fold the result back into a [M, K] LHS (cheap
+                    # slice+cast on the VPU; keeps the dot live)
+                    nxt = o[:, :K].astype(dtype)
+                    if dtype == jnp.int8:
+                        nxt = jnp.clip(o[:, :K], -127, 127).astype(dtype)
+                    return nxt, None
+                out, _ = jax.lax.scan(body, a, None, length=ITERS)
+                return out.astype(jnp.float32).ravel()[0]
 
             t0 = time.time()
             float(many(a, b))
@@ -260,7 +267,7 @@ def exp_int8rate():
                 t0 = time.time()
                 float(many(a, b))
                 times.append(time.time() - t0)
-            t = min(times) / 400
+            t = min(times) / ITERS
             fl = 2 * M * N * K
             name = "int8" if dtype == jnp.int8 else "bf16"
             unit = "TOP/s" if dtype == jnp.int8 else "TFLOP/s"

@@ -239,7 +239,21 @@ if __name__ == "__main__":
     names = args.only.split(",") if args.only else list(BENCHES)
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     for name in names:
-        BENCHES[name]()
+        # one leg's failure (e.g. a tunnel drop during a long remote
+        # compile — observed twice on the OneFormer Swin-L program)
+        # must not discard every other leg's numbers: record the error
+        # and keep going. Retry once — the tunnel recovers.
+        for attempt in (1, 2):
+            try:
+                BENCHES[name]()
+                RESULTS.pop(f"{name}_error", None)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"LEG FAILED ({name}, attempt {attempt}): "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
+                RESULTS[f"{name}_error"] = f"{type(e).__name__}: " \
+                                           f"{str(e)[:120]}"
     print(json.dumps({
         "metric": "perception_stack_latencies_tpu",
         "unit": "per-model compile + steady latencies (released scale, "

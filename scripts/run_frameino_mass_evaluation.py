@@ -185,7 +185,10 @@ def main():
 
         n = min(args.num_instances or len(dataset), len(dataset))
         steps = int(config.get("num_inference_steps", 50))
+        import time as _time
+        gen_times = []
         for idx in range(n):
+            t_inst = _time.time()
             item = dataset[idx]
             F, _, H, W = item["video_tensor"].shape
             text_dim = getattr(dit_cfg, "text_dim",
@@ -215,7 +218,13 @@ def main():
                 gen, item["processed_meta_data"], item["text_prompt"],
                 main_reference=item.get("ID_np",
                                         item.get("main_reference_np")))
-            print(f"instance {idx} written ({gen.shape})")
+            gen_times.append(round(_time.time() - t_inst, 2))
+            print(f"instance {idx} written ({gen.shape}) "
+                  f"in {gen_times[-1]:.1f}s", flush=True)
+        # first instance carries the XLA compiles; steady state is the
+        # per-instance generation cost (bench_mass_eval.py parses this)
+        import json as _json
+        print("GENERATION_TIMES: " + _json.dumps(gen_times), flush=True)
 
     metrics = FRAME_IN_METRICS if is_frame_in else FRAME_OUT_METRICS
     if args.backends == "naive":

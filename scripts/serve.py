@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8188)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--random_init", action="store_true",
+                   help="serve FULL-SIZE random-init weights (no "
+                        "checkpoint) — outputs are noise; for compile/"
+                        "latency benchmarking of the real serving "
+                        "surface only (scripts/bench_warm_start.py)")
     p.add_argument("--bucket_grid", type=int, default=64,
                    help="round request H/W up to this grid (multiple of "
                         "32) so requests land on precompiled shapes; 0 "
@@ -42,6 +47,13 @@ def parse_args():
                    help="comma-separated HxWxF[:steps] shapes to "
                         "precompile before binding the port, e.g. "
                         "'480x832x81,448x640x49:50'")
+    p.add_argument("--warmup_only", action="store_true",
+                   help="exit after --warmup instead of binding the "
+                        "port, printing one 'WARMSTART_JSON: {...}' "
+                        "line with per-shape first-request seconds "
+                        "(scripts/bench_warm_start.py drives this "
+                        "twice — cold process, then restarted warm "
+                        "process — to prove the persistent cache)")
     return p.parse_args()
 
 
@@ -66,6 +78,20 @@ def build_pipeline(args):
             dit_params = wan_dit.init_wan_dit(key, dit_cfg)
             vae_params = wan_vae.init_wan_vae(jax.random.fold_in(key, 1),
                                               vae_cfg)
+        elif args.random_init:
+            print("WARNING: --random_init serves RANDOM weights — "
+                  "outputs are noise (latency benchmarking only)")
+            vae_cfg = wan_vae.WAN22_VAE_CONFIG
+            dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
+            key = jax.random.key(0)
+            dit_params = jax.tree.map(
+                lambda s: jax.numpy.zeros(s.shape, jax.numpy.bfloat16),
+                jax.eval_shape(lambda k: wan_dit.init_wan_dit(k, dit_cfg),
+                               key))
+            vae_params = jax.tree.map(
+                lambda s: jax.numpy.zeros(s.shape, jax.numpy.bfloat16),
+                jax.eval_shape(
+                    lambda k: wan_vae.init_wan_vae(k, vae_cfg), key))
         else:
             dit_cfg, dit_params = pretrained.from_pretrained(
                 args.transformer)
@@ -83,6 +109,20 @@ def build_pipeline(args):
         dit_params = cogvideox_dit.init_cogvideox_dit(key, dit_cfg)
         vae_params = cogvideox_vae.init_cogvideox_vae(
             jax.random.fold_in(key, 1), vae_cfg)
+    elif args.random_init:
+        print("WARNING: --random_init serves RANDOM weights — outputs "
+              "are noise (latency benchmarking only)")
+        import jax.numpy as jnp
+        vae_cfg = cogvideox_vae.COGVIDEOX_VAE_CONFIG
+        dit_cfg = cogvideox_dit.COGVIDEOX_5B_I2V_FRAMEINO
+        zeros = lambda tree: jax.tree.map(  # noqa: E731
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16), tree)
+        dit_params = zeros(jax.eval_shape(
+            lambda k: cogvideox_dit.init_cogvideox_dit(k, dit_cfg),
+            jax.random.key(0)))
+        vae_params = zeros(jax.eval_shape(
+            lambda k: cogvideox_vae.init_cogvideox_vae(k, vae_cfg),
+            jax.random.key(1)))
     else:
         dit_cfg, dit_params = pretrained.from_pretrained(args.transformer)
         vae_cfg, vae_params = pretrained.from_pretrained(args.vae)
@@ -95,7 +135,7 @@ def warmup_shapes(server, shapes: str, default_steps: int):
     """Precompile the denoise/decode programs for each HxWxF[:steps]
     shape by pushing a synthetic request through handle_generate —
     exactly the request path, so the persistent cache captures every
-    program a real request needs."""
+    program a real request needs. Returns [(spec, steps, seconds)]."""
     import base64
     import io
     import time
@@ -103,6 +143,18 @@ def warmup_shapes(server, shapes: str, default_steps: int):
     import numpy as np
     from PIL import Image
 
+    # FrameINO motion checkpoints channel-concat trajectory latents
+    # (wan: in=2z; wan2.1 FrameINO: in=3z+4; cog: in=3z) — real requests
+    # carry trajectories, so the warmup must too or it compiles (and
+    # crashes on) the wrong program.
+    z = getattr(server.pipeline.vae_cfg, "z_dim",
+                getattr(server.pipeline.vae_cfg, "latent_channels", 0))
+    in_ch = server.pipeline.dit_cfg.in_channels
+    is_cog = "Cog" in type(server.pipeline).__name__
+    wants_traj = in_ch == 3 * z if is_cog \
+        else in_ch in (2 * z, 3 * z + 4)
+
+    timings = []
     for spec in shapes.split(","):
         spec = spec.strip()
         steps = default_steps
@@ -117,6 +169,9 @@ def warmup_shapes(server, shapes: str, default_steps: int):
                "height": h, "width": w, "num_frames": f,
                "num_inference_steps": steps,
                "prompt_embeds_b64": None}
+        if wants_traj:
+            req["trajectories"] = [[(w * 0.3, h * 0.3),
+                                    (w * 0.7, h * 0.6)]]
         if server.text_encoder_fn is None:
             # no encoder configured: zero embeds at the pipeline's dim
             emb = np.zeros((8, server.pipeline.dit_cfg.text_dim
@@ -131,7 +186,10 @@ def warmup_shapes(server, shapes: str, default_steps: int):
             del req["prompt_embeds_b64"]
         t0 = time.time()
         server.handle_generate(req)
-        print(f"warmup {h}x{w}x{f} steps={steps}: {time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        print(f"warmup {h}x{w}x{f} steps={steps}: {dt:.1f}s")
+        timings.append((f"{h}x{w}x{f}", steps, dt))
+    return timings
 
 
 def main():
@@ -166,8 +224,15 @@ def main():
                             bucket_grid=args.bucket_grid,
                             frame_grid=args.frame_grid)
     if args.warmup:
-        warmup_shapes(server, args.warmup,
-                      default_steps=server.default_steps)
+        timings = warmup_shapes(server, args.warmup,
+                                default_steps=server.default_steps)
+        if args.warmup_only:
+            import json
+            print("WARMSTART_JSON: " + json.dumps(
+                {"shapes": [{"shape": s, "steps": st,
+                             "first_request_s": round(dt, 2)}
+                            for s, st, dt in timings]}))
+            return
     server.serve(args.host, args.port)
 
 

@@ -92,9 +92,14 @@ class TestMassEvaluation:
         assert os.path.exists(out)
         loaded = json.load(open(out))
         assert set(loaded) == {"INO_TrajError", "INO_VSeg_MAE",
-                               "Relative_DINO", "INO_VLM"}
-        for v in loaded.values():
-            assert np.isfinite(v)
+                               "Relative_DINO", "INO_VLM",
+                               "_timings_s", "_num_instances"}
+        assert loaded["_num_instances"] == 2
+        assert set(loaded["_timings_s"]) == {
+            "INO_TrajError", "INO_VSeg_MAE", "Relative_DINO", "INO_VLM"}
+        for k in ("INO_TrajError", "INO_VSeg_MAE", "Relative_DINO",
+                  "INO_VLM"):
+            assert np.isfinite(loaded[k])
         # identical gen/gt in instance0 drags scores toward zero; the
         # shifted instance1 contributes positive traj error
         assert loaded["INO_TrajError"] >= 0.0
