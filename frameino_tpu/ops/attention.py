@@ -117,6 +117,57 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
+def _flash_fwd_kernel_static(q_ref, k_ref, v_ref, b_ref, o_ref,
+                             l_ref, acc_ref, *,
+                             block_k: int, kv_len: int, masked: bool):
+    """Static-bound softmax cell: ``p = exp2(s - bound)`` with a
+    PRECOMPUTED per-(batch*head) upper bound on every logit — no
+    running max, no ``alpha`` rescale of l/acc, no m scratch.
+
+    Sound because softmax is shift-invariant and the DiT q/k are
+    RMS/LayerNorm-normalized before attention: the caller derives
+    ``bound >= max_ij q_i.k_j`` from Cauchy-Schwarz
+    (max_i||q_i|| * max_j||k_j||, in the scaled exp2 domain), so
+    ``p <= 1`` — no overflow by construction. Underflow (a whole row
+    of p flushing to 0 -> 0/0) would need bound - row_max > ~126
+    log2 units, impossible under qk-norm (gap <= 2*bound ~= 33 units
+    at D=128 with unit gains); the -120 clamp makes even an
+    adversarial-gain violation return a finite average-of-V row
+    instead of NaN. Measured on v5e vs the online kernel (r5,
+    scripts/bench_flash_variants.py): Cog D=64 S=15.9k 100.2 -> 83.9
+    ms (+16%), Wan D=128 S=5.6k 10.3 -> 9.1 ms (+12%) — the D=64
+    path is partially VPU(softmax)-bound, and the max reduction +
+    rescale were the largest VPU terms.
+    """
+    k_idx = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [block_q, block_k]
+    p = jnp.exp2(jnp.maximum(s - b_ref[0], -120.0))
+    if masked:
+        # zero padded key columns AFTER exp2 (the clamp floor would
+        # otherwise resurrect them at 2^-120)
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) \
+            + k_idx * block_k
+        p = jnp.where(col < kv_len, p, 0.0)
+    l_ref[...] = l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [block_q, D]
+    acc_ref[...] = acc_ref[...] + pv
+
+    @pl.when(k_idx == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -210,6 +261,68 @@ def _flash_fwd(q, k, v, *, scale: Optional[float], block_q: int,
     if sq_p != Sq:
         out = out[:, :, :Sq]
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "kv_len",
+                                    "interpret"))
+def _flash_fwd_static(q, k, v, bound, *, block_q: int, block_k: int,
+                      kv_len: Optional[int] = None,
+                      interpret: bool = False):
+    """Static-bound flash forward (see ``_flash_fwd_kernel_static``).
+
+    q must be PRE-SCALED (softmax scale * log2e folded in, as the fused
+    producers emit); ``bound`` is a shape-(1,) fp32 upper bound on
+    every scaled logit (sup-norm product from Cauchy-Schwarz). Used by
+    the DiT fused-producer paths only — generic callers without a
+    qk-norm guarantee keep the online-softmax kernel.
+    """
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    kv_len = Skv if kv_len is None else kv_len
+    sq_p = _round_up(Sq, block_q)
+    skv_p = _round_up(Skv, block_k)
+    if sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
+    if skv_p != Skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+    bh = B * H
+    q = q.reshape(bh, sq_p, D)
+    k = k.reshape(bh, skv_p, D)
+    v = v.reshape(bh, skv_p, D)
+    grid = (bh, sq_p // block_q, skv_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel_static, block_k=block_k,
+                          kv_len=kv_len, masked=skv_p != kv_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bound)
+    out = out.reshape(B, H, sq_p, D)
+    if sq_p != Sq:
+        out = out[:, :, :Sq]
+    return out
+
+
+# Escape hatch: route the fused DiT paths back to the online-softmax
+# kernel (tests compare the two; production default is static-bound —
+# measured +16% D=64 / +12% D=128 on v5e, r5).
+STATIC_BOUND_SOFTMAX = True
 
 
 def flash_attention_inference(q, k, v, scale: Optional[float] = None,
@@ -366,13 +479,20 @@ def _rope_expand(cos, sin, gain: float = 1.0):
     return c2.astype(jnp.float32), s2.astype(jnp.float32)
 
 
+def _rowmax_norm(x):
+    """max row L2 over [BH, S, D] (fp32)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                            axis=-1)).max()
+
+
 def _fused_qk_flash_impl(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
                          num_heads: int, eps: float,
                          scale: Optional[float],
                          block_q: Optional[int],
                          block_k: Optional[int],
                          interpret: bool,
-                         rstd_q=None, rstd_k=None):
+                         rstd_q=None, rstd_k=None,
+                         static_softmax: Optional[bool] = None):
     """Shared body of the fused-producer flash path. With
     rstd_q/rstd_k ([B, 1, S] per-token reciprocal RMS) the producers
     apply the PRECOMPUTED statistic (the tp-sharded path, where the
@@ -434,10 +554,24 @@ def _fused_qk_flash_impl(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
     # larger q blocks.
     bq = block_q if block_q is not None else _auto_block(sp, 512)
     bk = block_k if block_k is not None else _auto_block(sp, 1024)
-    out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
-                     vh, scale=None, block_q=min(bq, sp),
-                     block_k=min(bk, sp), kv_len=S, prescaled=True,
-                     interpret=interpret)
+    if static_softmax is None:
+        static_softmax = STATIC_BOUND_SOFTMAX
+    if static_softmax:
+        # sup bound on every scaled logit via Cauchy-Schwarz over the
+        # producer outputs (qh already carries scale*log2e; padded rows
+        # are exactly zero and cannot inflate the max). One fused XLA
+        # reduce over tensors the kernel reads anyway.
+        bound = _rowmax_norm(qh) * _rowmax_norm(kh)
+        out = _flash_fwd_static(qh.reshape(B, H, sp, D),
+                                kh.reshape(B, H, sp, D), vh,
+                                bound.reshape(1), block_q=min(bq, sp),
+                                block_k=min(bk, sp), kv_len=S,
+                                interpret=interpret)
+    else:
+        out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
+                         vh, scale=None, block_q=min(bq, sp),
+                         block_k=min(bk, sp), kv_len=S, prescaled=True,
+                         interpret=interpret)
     if pad:
         out = out[:, :, :S]
     return out
@@ -445,13 +579,15 @@ def _fused_qk_flash_impl(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "eps", "scale",
-                                    "block_q", "block_k", "interpret"))
+                                    "block_q", "block_k", "interpret",
+                                    "static_softmax"))
 def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
                              num_heads: int, eps: float,
                              scale: Optional[float] = None,
                              block_q: Optional[int] = None,
                              block_k: Optional[int] = None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             static_softmax: Optional[bool] = None):
     """Flash attention with the qk-norm + interleaved-RoPE producers
     fused into the kernel.
 
@@ -462,7 +598,8 @@ def fused_qk_flash_attention(q_raw, k_raw, v, w_q, w_k, cos, sin, *,
     return _fused_qk_flash_impl(q_raw, k_raw, v, w_q, w_k, cos, sin,
                                 num_heads=num_heads, eps=eps, scale=scale,
                                 block_q=block_q, block_k=block_k,
-                                interpret=interpret)
+                                interpret=interpret,
+                                static_softmax=static_softmax)
 
 
 def fused_sharded_supported(mesh, batch: int, num_heads: int, *,
@@ -624,7 +761,8 @@ def _fused_ln_qk_flash_impl(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                             scale: Optional[float],
                             block_q: Optional[int],
                             block_k: Optional[int],
-                            interpret: bool):
+                            interpret: bool,
+                            static_softmax: Optional[bool] = None):
     B, S, HD = q_raw.shape
     H, D = num_heads, head_dim
     scale = scale if scale is not None else _default_scale(D)
@@ -659,10 +797,19 @@ def _fused_ln_qk_flash_impl(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
     # startup across more rows; 2048-wide K blocks regress again.
     bq = block_q if block_q is not None else min(1024, sp)
     bk = block_k if block_k is not None else min(1024, sp)
-    out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
-                     vh, scale=None, block_q=bq,
-                     block_k=bk, kv_len=S, prescaled=True,
-                     interpret=interpret)
+    if static_softmax is None:
+        static_softmax = STATIC_BOUND_SOFTMAX
+    if static_softmax:
+        bound = _rowmax_norm(qh) * _rowmax_norm(kh)
+        out = _flash_fwd_static(qh.reshape(B, H, sp, D),
+                                kh.reshape(B, H, sp, D), vh,
+                                bound.reshape(1), block_q=bq, block_k=bk,
+                                kv_len=S, interpret=interpret)
+    else:
+        out = _flash_fwd(qh.reshape(B, H, sp, D), kh.reshape(B, H, sp, D),
+                         vh, scale=None, block_q=bq,
+                         block_k=bk, kv_len=S, prescaled=True,
+                         interpret=interpret)
     if pad:
         out = out[:, :, :S]
     return out
@@ -671,14 +818,15 @@ def _fused_ln_qk_flash_impl(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "head_dim", "eps",
                                     "scale", "block_q", "block_k",
-                                    "interpret"))
+                                    "interpret", "static_softmax"))
 def fused_ln_qk_flash_attention(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                                 cos, sin, *, num_heads: int,
                                 head_dim: int, eps: float,
                                 scale: Optional[float] = None,
                                 block_q: Optional[int] = None,
                                 block_k: Optional[int] = None,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                static_softmax: Optional[bool] = None):
     """CogVideoX joint self-attention with the per-head-LayerNorm +
     RoPE producers fused into Pallas passes (the wan variant's
     layer-norm sibling; reference attention_processor.py:2805-2877).
@@ -691,7 +839,8 @@ def fused_ln_qk_flash_attention(q_raw, k_raw, v, w_q, b_q, w_k, b_k,
                                    cos, sin, num_heads=num_heads,
                                    head_dim=head_dim, eps=eps, scale=scale,
                                    block_q=block_q, block_k=block_k,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   static_softmax=static_softmax)
 
 
 def fused_ln_qk_flash_attention_sharded(q_raw, k_raw, v, w_q, b_q, w_k,

@@ -91,8 +91,24 @@ def prepare_conditions(vae_cfg: wan_vae.WanVAEConfig, vae_params: Params,
         z = wan_vae.encode(vae_cfg, vae_params, v, sample_mode="argmax")
         return wan_vae.normalize_latents(vae_cfg, z)
 
+    def enc_clip(v):
+        # multi-frame clips get the memory-bounded hybrid (tiled x
+        # temporally-streamed) encode: a full-sequence 49f traj encode
+        # at eval resolutions OOMs a 16 GB chip next to the resident
+        # DiT (the trainer needed the same fix — encode_moments_inline).
+        # hybrid == full numerically (tests/test_vae_tiling.py).
+        B_, _C, T, Hp, Wp = v.shape
+        if T <= 9 or Hp < 256 or Wp < 256:
+            return enc(v)       # small clips/canvases: one program
+        from frameino_tpu.models.wan_vae_tiling import hybrid_encode
+        moments = hybrid_encode(vae_cfg, vae_params, v, tile_min=256,
+                                tile_stride=192, chunk_pixel_frames=16)
+        mean = moments[:, :vae_cfg.z_dim]                  # argmax mode
+        return wan_vae.normalize_latents(vae_cfg, mean)
+
     condition = enc(image[:, :, None])                     # single frame
-    traj_latents = enc(traj_video) if traj_video is not None else None
+    traj_latents = enc_clip(traj_video) if traj_video is not None \
+        else None
 
     id_latents = None
     if id_frames is not None and id_frames.shape[2] > 0:

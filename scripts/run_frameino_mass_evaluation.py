@@ -89,8 +89,25 @@ def build_pipeline(args, config):
             vae_cfg = wan_vae.WAN22_VAE_CONFIG
             dit_cfg = wan_dit.WAN22_TI2V_5B_MOTION
         key = jax.random.key(0)
-        dit_params = wan_dit.init_wan_dit(key, dit_cfg)
-        vae_params = wan_vae.init_wan_vae(jax.random.fold_in(key, 1), vae_cfg)
+        if args.smoke:
+            dit_params = wan_dit.init_wan_dit(key, dit_cfg)
+            vae_params = wan_vae.init_wan_vae(jax.random.fold_in(key, 1),
+                                              vae_cfg)
+        else:
+            # benchmarking without a checkpoint: zeros-bf16 via
+            # eval_shape — init_wan_dit materializes 5B fp32 (20 GB)
+            # and OOMs one chip; XLA timing only depends on
+            # shape/dtype (same approach as bench.py / serve.py
+            # --random_init)
+            import jax.numpy as jnp
+            dit_params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                jax.eval_shape(lambda k: wan_dit.init_wan_dit(k, dit_cfg),
+                               key))
+            vae_params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                jax.eval_shape(
+                    lambda k: wan_vae.init_wan_vae(k, vae_cfg), key))
         tp = config.get("pretrained_transformer_path")
         if tp and os.path.exists(str(tp)):
             from frameino_tpu.models.weights import load_wan_dit_weights
@@ -118,9 +135,22 @@ def build_pipeline(args, config):
             dit_cfg = cogvideox_dit.COGVIDEOX_5B_I2V_FRAMEINO
         import jax
         key = jax.random.key(0)
-        dit_params = cogvideox_dit.init_cogvideox_dit(key, dit_cfg)
-        vae_params = cogvideox_vae.init_cogvideox_vae(
-            jax.random.fold_in(key, 1), vae_cfg)
+        if args.smoke:
+            dit_params = cogvideox_dit.init_cogvideox_dit(key, dit_cfg)
+            vae_params = cogvideox_vae.init_cogvideox_vae(
+                jax.random.fold_in(key, 1), vae_cfg)
+        else:
+            import jax.numpy as jnp
+            dit_params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                jax.eval_shape(
+                    lambda k: cogvideox_dit.init_cogvideox_dit(k, dit_cfg),
+                    key))
+            vae_params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                jax.eval_shape(
+                    lambda k: cogvideox_vae.init_cogvideox_vae(k, vae_cfg),
+                    key))
         return CogVideoXImageToVideoPipeline(
             dit_cfg, dit_params, vae_cfg, vae_params,
             CogPipelineConfig(scheduler_type="dpm"),

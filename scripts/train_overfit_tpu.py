@@ -15,7 +15,7 @@ sample-per-token-t split as the reference,
 ``pipelines/pipeline_wan_i2v_motion_FrameINO.py:832-843``) must
 reproduce the memorized clip from pure noise.
 
-Writes TRAIN_CONVERGENCE_r04.json: loss curve, a deterministic probe
+Writes TRAIN_CONVERGENCE_r0N.json (--out): loss curve, a deterministic probe
 loss (fixed sigma=0.7, fixed noise — its target IS recoverable from the
 model input, so memorization drives it to ~0; the raw train loss keeps
 an irreducible floor from the low-sigma strata where the independent
@@ -124,7 +124,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr_scheduler", default="constant_with_warmup",
+                    choices=["constant_with_warmup", "cosine"],
+                    help="cosine decays to 0 by --steps: the sampled "
+                         "curve then ends at the converged model, not "
+                         "on whatever stratum the last step drew "
+                         "(VERDICT r4 weak #6)")
     ap.add_argument("--sample_steps", type=int, default=38)
+    ap.add_argument("--out", default="TRAIN_CONVERGENCE_r05.json")
     args = ap.parse_args()
 
     video, traj = synthetic_clip()
@@ -141,6 +148,8 @@ def main():
     dit_params = wan_dit.init_wan_dit(jax.random.key(1), DIT_CFG)
     opt = make_optimizer(OptimizerConfig(learning_rate=args.lr,
                                          lr_warmup_steps=20,
+                                         lr_scheduler=args.lr_scheduler,
+                                         max_train_steps=args.steps,
                                          weight_decay=0.0))
     tcfg = TrainerConfig(remat=False)
     state = init_train_state(dit_params, opt)
@@ -156,15 +165,24 @@ def main():
 
     key = jax.random.key(42)
     losses, probes = [], []
+    loss_hist = []          # EVERY step's loss, fetched once at the end
     t0 = time.time()
     for i in range(args.steps):
         state, m = step(state, vae_params, batch, key)
+        loss_hist.append(m["loss"])
         if i % 50 == 0 or i == args.steps - 1:
             losses.append([i, float(m["loss"])])
             probes.append([i, float(probe(state.params))])
             print(f"# step {i}: loss {losses[-1][1]:.5f} "
                   f"probe {probes[-1][1]:.5f}", file=sys.stderr)
     train_s = time.time() - t0
+    # 50-step window MEANS: the per-step loss is a random draw over
+    # timestep strata (low-sigma strata have an irreducible floor), so
+    # any single sampled step can spike 3x; the window mean is the
+    # honest convergence trace (VERDICT r4 weak #6).
+    all_losses = np.asarray(jnp.stack(loss_hist))
+    loss_mean50 = [[int(i), float(all_losses[i:i + 50].mean())]
+                   for i in range(0, args.steps, 50)]
 
     # --- sample the memorized clip through the real inference path ---
     condition, traj_latents, id_latents = P.prepare_conditions(
@@ -214,7 +232,9 @@ def main():
         "platform": str(jax.devices()[0].platform),
         "steps": int(args.steps),
         "train_s": round(train_s, 1),
+        "lr_scheduler": args.lr_scheduler,
         "loss_curve": losses,
+        "loss_curve_mean50": loss_mean50,
         "probe_curve": probes,
         "final_loss": round(final_loss, 5),
         "final_probe_loss": round(final_probe, 5),
@@ -225,7 +245,7 @@ def main():
         "ok": bool(ok),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "TRAIN_CONVERGENCE_r04.json"),
+            os.path.abspath(__file__))), args.out),
             "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

