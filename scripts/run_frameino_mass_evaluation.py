@@ -240,7 +240,12 @@ def main():
                 # full-sequence decode OOMs next to the resident 5B DiT
                 # at eval resolutions on a 16G chip; the hybrid
                 # (tiled x streaming) is the production decode
-                decode_mode="full" if args.smoke else "hybrid")
+                decode_mode="full" if args.smoke else "hybrid",
+                # bounded chunked denoise programs, like serve.py and
+                # bench_e2e (exact: idempotent re-blend; also the r5
+                # mass-eval generation leg OOMed 16 GB with the single
+                # 50-step program this driver previously compiled)
+                steps_per_program=None if args.smoke else 10)
             gen = ((np.asarray(video)[0].transpose(1, 2, 3, 0) + 1) / 2
                    * 255).clip(0, 255).astype(np.uint8)
             write_instance_artifacts(
